@@ -1,0 +1,205 @@
+"""Numpy/pandas kernels for the per-key stateful inner loops.
+
+These run inside Arrow-batched ``applyInPandas`` / ``applyInPandasWithState``
+UDFs — the only places where the engine leaves Catalyst, because the
+semantics are inherently per-key sequential (the reference's gpsdio Segmenter
+inner loop, transform/fragment_implementation.py:86-122, and the greedy
+matcher, transform/create_segment_map.py:84-147, are the same).
+
+Per-key work is O(rows_in_group * open_fragments) with open_fragments bounded
+by ``params.max_open_fragments`` — parallelism comes from the key dimension
+(millions of doc_ids), exactly as in the reference.
+
+This module is deliberately INDEPENDENT of oracle/segmenter.py (dict-based)
+so pytest equality between the two is a meaningful cross-check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pipe_segment_spark.config import SegmenterParams
+
+MICROS_PER_HOUR = 3_600_000_000.0
+
+
+def _fmt_ts_us(us: int) -> str:
+    """'{ts:%Y-%m-%dT%H:%M:%S.%fZ}' from integer epoch micros (UTC)."""
+    return (
+        pd.Timestamp(us, unit="us", tz="UTC").strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+    )
+
+
+def frag_id_of_us(doc_id: str, first_us: int, k: int) -> str:
+    return f"{doc_id}-{_fmt_ts_us(first_us)}-{k}"
+
+
+class OpenFragState:
+    """Open-fragment state for one key; a plain tuple-list so it round-trips
+    through streaming GroupState (arrays of primitives)."""
+
+    __slots__ = ("k", "first_us", "last_us", "last_n_tok", "frag_id")
+
+    def __init__(self, k: int, first_us: int, last_n_tok: int, frag_id: str):
+        self.k = k
+        self.first_us = first_us
+        self.last_us = first_us
+        self.last_n_tok = last_n_tok
+        self.frag_id = frag_id
+
+
+def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic multi-key sort (reference fragment.py:115-140): stable
+    mergesort; None -> greatest for numerics / '' for strings."""
+    tmp = pd.DataFrame(
+        {
+            "__ts": pdf["timestamp"].to_numpy("datetime64[us]"),
+            "__msgid": pdf["msgid"].fillna(""),
+            "__n_tok": pdf["n_tok"].fillna(np.iinfo(np.int64).max),
+            "__source": pdf["source"].fillna(""),
+            "__rec": pdf["rec_type"].fillna(""),
+        },
+        index=pdf.index,
+    )
+    order = tmp.sort_values(
+        ["__ts", "__msgid", "__n_tok", "__source", "__rec"], kind="mergesort"
+    ).index
+    return pdf.loc[order]
+
+
+def fragment_group(
+    pdf: pd.DataFrame,
+    params: SegmenterParams,
+    state: list[OpenFragState] | None = None,
+    next_k: int = 1,
+) -> tuple[np.ndarray, list[OpenFragState], int]:
+    """Assign a frag_id (or None) to every row of one sorted (doc_id, window)
+    group. Returns (frag_ids, open_state, next_k) so the streaming path can
+    carry state across windows.
+    """
+    n = len(pdf)
+    frag_ids = np.empty(n, dtype=object)
+    if n == 0:
+        return frag_ids, state or [], next_k
+
+    doc_id = pdf["doc_id"].iloc[0]
+    ts_us = pdf["timestamp"].to_numpy("datetime64[us]").astype(np.int64)
+    n_tok = pdf["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
+    rec_type = pdf["rec_type"].to_numpy()
+    tokens = pdf["tokens"].to_numpy()
+
+    open_frags: list[OpenFragState] = list(state or [])
+    max_gap_us = params.max_gap_hours * MICROS_PER_HOUR
+
+    for i in range(n):
+        t = ts_us[i]
+        # age out fragments beyond the gap window (bounds state size)
+        if open_frags:
+            open_frags = [f for f in open_frags if t - f.last_us <= max_gap_us]
+        tok = tokens[i]
+        noise = tok is None or len(tok) == 0 or np.isnan(n_tok[i])
+        if noise:
+            frag_ids[i] = None
+            continue
+        nt = n_tok[i]
+        best = None
+        best_score = 0.0
+        for f in open_frags:
+            h = (t - f.last_us) / MICROS_PER_HOUR
+            s = params.pair_score(nt - f.last_n_tok, h)
+            if s > best_score:
+                best, best_score = f, s
+        if rec_type[i] == "IDENT":
+            # identity-only record: attach for signature counting, don't
+            # advance the fragment (reference AIS.5 behavior,
+            # tests/transform/test_fragment.py:181-245)
+            frag_ids[i] = best.frag_id if best is not None else None
+            continue
+        if best is None:
+            if len(open_frags) >= params.max_open_fragments:
+                open_frags.sort(key=lambda f: (f.last_us, f.k))
+                open_frags.pop(0)
+            best = OpenFragState(
+                next_k, int(t), int(nt), frag_id_of_us(doc_id, int(t), next_k)
+            )
+            next_k += 1
+            open_frags.append(best)
+        best.last_us = int(t)
+        best.last_n_tok = int(nt)
+        frag_ids[i] = best.frag_id
+
+    return frag_ids, open_frags, next_k
+
+
+def greedy_merge(
+    doc_id: str,
+    frags: pd.DataFrame,
+    params: SegmenterParams,
+    open_segs: dict[str, tuple[int, int]] | None = None,
+) -> tuple[pd.DataFrame, dict[str, tuple[int, int]]]:
+    """Greedy cross-window fragment->segment matching for one key.
+
+    ``frags`` columns: frag_id, first_us, last_us, first_n_tok, last_n_tok,
+    date (datetime.date). Returns (segmap rows, final open_segs state) where
+    open_segs maps seg_id -> (last_us, last_n_tok) of its latest fragment.
+    Replays reference create_segment_map.py:84-147 exactly (ascending sort,
+    pop-best, stale-key skip, one join per seg per day, unmatched -> new seg).
+    """
+    open_segs = dict(open_segs or {})
+    out_seg, out_frag, out_date = [], [], []
+
+    frags = frags.sort_values(["date", "frag_id"], kind="mergesort")
+    for day, day_frags in frags.groupby("date", sort=True):
+        fid = day_frags["frag_id"].to_numpy()
+        f_us = day_frags["first_us"].to_numpy()
+        f_nt = day_frags["first_n_tok"].to_numpy()
+        l_us = day_frags["last_us"].to_numpy()
+        l_nt = day_frags["last_n_tok"].to_numpy()
+        idx_of = {f: j for j, f in enumerate(fid)}
+        new_frags = set(fid)
+
+        scores = []
+        for seg_id, (seg_last_us, seg_last_nt) in open_segs.items():
+            h = (f_us - seg_last_us) / MICROS_PER_HOUR
+            d = f_nt - seg_last_nt
+            for j in range(len(fid)):
+                s = params.match_score(float(d[j]), float(h[j]))
+                scores.append((s, (seg_id, fid[j]), seg_id, fid[j]))
+        scores.sort()
+        stale: set[str] = set()
+        active: dict[str, str] = {}
+        while scores:
+            s, _, seg_id, frag_id = scores.pop()
+            if s == 0.0:
+                break
+            if seg_id in stale or frag_id in stale:
+                continue
+            active[seg_id] = frag_id
+            new_frags.remove(frag_id)
+            stale.add(seg_id)
+            stale.add(frag_id)
+        for seg_id, frag_id in active.items():
+            out_seg.append(seg_id)
+            out_frag.append(frag_id)
+            out_date.append(day)
+        open_segs = {}
+        for frag_id in sorted(new_frags):
+            open_segs[frag_id] = (int(l_us[idx_of[frag_id]]), int(l_nt[idx_of[frag_id]]))
+            out_seg.append(frag_id)
+            out_frag.append(frag_id)
+            out_date.append(day)
+        for seg_id, frag_id in active.items():
+            open_segs[seg_id] = (int(l_us[idx_of[frag_id]]), int(l_nt[idx_of[frag_id]]))
+
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "date": pd.array(out_date),
+                "seg_id": out_seg,
+                "frag_id": out_frag,
+            }
+        ),
+        open_segs,
+    )

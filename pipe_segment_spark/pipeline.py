@@ -1,0 +1,59 @@
+"""Batch segmenter pipeline — the end-to-end DAG.
+
+Mirrors the reference SegmentPipeline.pipeline() DAG (pipeline.py:159-301)
+with Spark-first physical choices:
+
+    records --tag_fragments(applyInPandas)--> tagged(+frag_id)
+           --fragments_from_tagged(Catalyst agg)--> fragments
+           --create_segment_map(applyInPandas per doc_id)--> segmap (tiny)
+           --broadcast-left-join--> tagged(+seg_id), fragments(+seg_id)
+           --create_segments(window fns)--> segments
+
+The segmap is broadcast (reference fans it out over time-bins instead —
+tag_with_fragid_and_timebin.py). ``tagged`` is reused by two consumers; we
+persist it once rather than recompute the fragmenter UDF twice. At 100 TB the
+equivalent is a single write of tagged records to the sink table, with
+fragments derived from the scan of that table (same plan, storage-backed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from pipe_segment_spark.config import DEFAULT_PARAMS, SegmenterParams
+from pipe_segment_spark.operators.fragment import fragments_from_tagged, tag_fragments
+from pipe_segment_spark.operators.segment_map import create_segment_map
+from pipe_segment_spark.operators.segments import create_segments
+from pipe_segment_spark.operators.tag import (
+    tag_fragments_with_seg_id,
+    tag_records_with_seg_id,
+)
+
+
+@dataclass
+class SegmentOutputs:
+    tagged_records: DataFrame  # input + frag_id + seg_id
+    fragments: DataFrame  # fragment summaries + seg_id
+    segmap: DataFrame  # (doc_id, date, seg_id, frag_id)
+    segments: DataFrame  # per-(seg_id, day) stats
+
+
+def run_batch_pipeline(
+    records: DataFrame,
+    params: SegmenterParams = DEFAULT_PARAMS,
+    persist: bool = True,
+) -> SegmentOutputs:
+    tagged = tag_fragments(records, params)
+    if persist:
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    fragments = fragments_from_tagged(tagged)
+    if persist:
+        fragments = fragments.persist(StorageLevel.MEMORY_AND_DISK)
+    segmap = create_segment_map(fragments, params)
+    tagged_out = tag_records_with_seg_id(tagged, segmap)
+    frags_out = tag_fragments_with_seg_id(fragments, segmap)
+    segments = create_segments(frags_out)
+    return SegmentOutputs(tagged_out, frags_out, segmap, segments)
