@@ -1,0 +1,565 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+Large-scale corpus ops the engine supports as first-class components:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+search (brute-force cosine top-k; LSH-bucketed scale path), and text
+analysis (lang-id heuristic, quality scoring, token counting,
+fingerprinting). All implemented as Catalyst expressions over arrays
+(higher-order functions) — no Python in the hot path — and each with a
+bit-identical DuckDB oracle (md5-based hashing, integer/index-deterministic
+float math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# words / shingles (3-word) shared derivation
+WORDS_EXPR = "filter(split(text, ' '), w -> w <> '')"
+SHINGLES_EXPR = (
+    f"case when size({WORDS_EXPR}) >= 3 then "
+    f"transform(sequence(0, size({WORDS_EXPR}) - 3), "
+    f"i -> concat({WORDS_EXPR}[i], ' ', {WORDS_EXPR}[i+1], ' ', {WORDS_EXPR}[i+2])) "
+    f"else array() end"
+)
+
+# DuckDB twins (1-based lists)
+D_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+D_SHINGLES = (
+    f"list_transform(range(1, greatest(len({D_WORDS}) - 1, 1)), "
+    f"i -> {D_WORDS}[i] || ' ' || {D_WORDS}[i+1] || ' ' || {D_WORDS}[i+2])"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a normalized key (first 5 words):
+    every doc mapped to its canonical (min doc_id) representative."""
+    d = _docs(spark, sf_dir).withColumn(
+        "dup_key", F.md5(F.concat_ws(" ", F.slice(F.expr(WORDS_EXPR), 1, 5)))
+    )
+    w = Window.partitionBy("dup_key")
+    return d.select(
+        "doc_id",
+        "dup_key",
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+O_DEDUP_EXACT = f"""
+SELECT doc_id, dup_key,
+       min(doc_id) OVER w AS canonical_doc_id,
+       CAST(count(*) OVER w AS BIGINT) AS group_size
+FROM (
+    SELECT doc_id,
+           md5(array_to_string(list_slice({D_WORDS}, 1, 5), ' ')) AS dup_key
+    FROM documents
+)
+WINDOW w AS (PARTITION BY dup_key)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5 (shingle explode +
+    self-equi-join on shingle + count ratio)."""
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+O_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, sh
+    FROM (SELECT doc_id, unnest({D_SHINGLES}) AS sh FROM documents)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.5
+"""
+
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 hashes per band
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle -> 8 md5-minhashes -> 4 bands of 2 ->
+    bucket join -> candidate pairs with band-collision count."""
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("sh"))
+        .distinct()
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"),
+        "sh",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))).alias(
+            "h"
+        ),
+    )
+    sig = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    bands = (
+        sig.withColumn("band", (F.col("i") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat(
+                    F.min(F.when(F.col("i") % 2 == 0, F.col("mh"))),
+                    F.min(F.when(F.col("i") % 2 == 1, F.col("mh"))),
+                )
+            ).alias("bkey")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("bands_shared"))
+    )
+
+
+O_DEDUP_MINHASH_LSH = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, sh
+    FROM (SELECT doc_id, unnest({D_SHINGLES}) AS sh FROM documents)
+),
+hashed AS (
+    SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || sh) AS h
+    FROM sh, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(i)
+),
+sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+bands AS (
+    SELECT doc_id, CAST(i // 2 AS INT) AS band,
+           md5(min(CASE WHEN i % 2 = 0 THEN mh END)
+               || min(CASE WHEN i % 2 = 1 THEN mh END)) AS bkey
+    FROM sig GROUP BY doc_id, i // 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS bands_shared
+FROM bands a JOIN bands b
+     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc from shingle md5 hex digits (bit j = sign of
+    sum over shingles of ±1 by hex digit high bit)."""
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("sh"))
+        .distinct()
+        .withColumn("h", F.md5("sh"))
+    )
+    bits = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        F.when(
+            F.substring("h", F.col("j") + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("v"),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1, j)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+O_DEDUP_SIMHASH = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, sh
+    FROM (SELECT doc_id, unnest({D_SHINGLES}) AS sh FROM documents)
+),
+bits AS (
+    SELECT doc_id, j,
+           CASE WHEN substr(md5(sh), j + 1, 1) IN
+                     ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS v
+    FROM sh, unnest([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS t(j)
+),
+sums AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+# cosine over the 64-dim embeddings: element-wise double fold, index order
+# fixed -> bit-identical across engines
+COS_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+D_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors
+    (vec_id % 97 == 0): the ANN correctness baseline."""
+    e = _embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    dot = F.expr(COS_DOT.format(a="q_emb", b="c_emb"))
+    qq = F.expr(COS_DOT.format(a="q_emb", b="q_emb"))
+    cc = F.expr(COS_DOT.format(a="c_emb", b="c_emb"))
+    pairs = (
+        q.crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(dot / F.sqrt(qq * cc), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "c_id", "c_label", "cos", "rank")
+    )
+
+
+O_ANN_COSINE_TOPK = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+    WHERE vec_id % 97 = 0
+),
+pairs AS (
+    SELECT q_id, c.vec_id AS c_id, c.label AS c_label,
+           round({D_DOT.format(a="q_emb", b="c.embedding")}
+                 / sqrt({D_DOT.format(a="q_emb", b="q_emb")}
+                        * {D_DOT.format(a="c.embedding", b="c.embedding")}), 6)
+               AS cos
+    FROM q, embeddings c
+    WHERE q_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, c_id ASC) AS rank
+    FROM pairs
+)
+SELECT q_id, c_id, c_label, cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+LSH_BITS = 8  # bucket bits from sign comparisons emb[j] vs emb[j+8]
+
+
+def _bucket_expr_spark():
+    terms = [
+        f"(case when element_at(embedding, {j + 1}) > "
+        f"element_at(embedding, {j + 9}) then {1 << j} else 0 end)"
+        for j in range(LSH_BITS)
+    ]
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+_D_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > embedding[{j + 9}] THEN {1 << j} ELSE 0 END)"
+    for j in range(LSH_BITS)
+)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: deterministic hyperplane-sign bucketing; per-bucket
+    population stats (the bucket-local search replaces the cross join at
+    10^12 scale)."""
+    e = _embs(spark, sf_dir).withColumn("bucket", _bucket_expr_spark())
+    return e.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+O_ANN_LSH_BUCKETS = f"""
+SELECT CAST({_D_BUCKET} AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       min(vec_id) AS min_vec_id,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs from the same LSH bucket,
+    verified by exact cosine >= 0.2 (bucketing bounds the pair blowup)."""
+    e = _embs(spark, sf_dir).withColumn("bucket", _bucket_expr_spark())
+    a = e.select(
+        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    dot = F.expr(COS_DOT.format(a="ea", b="eb"))
+    na = F.expr(COS_DOT.format(a="ea", b="ea"))
+    nb = F.expr(COS_DOT.format(a="eb", b="eb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / F.sqrt(na * nb), 6))
+        .where(F.col("cos") >= 0.2)
+        .select("bucket", "id_a", "id_b", "cos")
+    )
+
+
+O_DEDUP_EMBEDDING_NEAR = f"""
+WITH e AS (
+    SELECT vec_id, embedding, CAST({_D_BUCKET} AS INT) AS bucket
+    FROM embeddings
+)
+SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({D_DOT.format(a="a.embedding", b="b.embedding")}
+             / sqrt({D_DOT.format(a="a.embedding", b="a.embedding")}
+                    * {D_DOT.format(a="b.embedding", b="b.embedding")}), 6) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({D_DOT.format(a="a.embedding", b="b.embedding")}
+            / sqrt({D_DOT.format(a="a.embedding", b="a.embedding")}
+                   * {D_DOT.format(a="b.embedding", b="b.embedding")}), 6) >= 0.2
+"""
+
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: word count, avg word length, stopword ratio."""
+    d = _docs(spark, sf_dir).withColumn("w", F.expr(WORDS_EXPR))
+    n_words = F.size("w")
+    stop_hits = F.size(
+        F.expr(f"filter(w, x -> x in {str(STOPWORDS)})")
+    )
+    char_sum = F.expr("aggregate(w, 0, (a, x) -> a + length(x))")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(char_sum / n_words, 6).alias("avg_word_len"),
+        F.round(stop_hits / n_words, 6).alias("stopword_ratio"),
+    )
+
+
+O_TEXT_QUALITY = f"""
+WITH base AS (SELECT doc_id, lang, {D_WORDS} AS w FROM documents)
+SELECT doc_id, lang,
+       CAST(len(w) AS INT) AS n_words,
+       round(list_sum(list_transform(w, x -> length(x)))
+             / CAST(len(w) AS DOUBLE), 6) AS avg_word_len,
+       round(len(list_filter(w, x -> x IN {str(STOPWORDS)}))
+             / CAST(len(w) AS DOUBLE), 6) AS stopword_ratio
+FROM base
+"""
+
+
+LANG_MARKERS = {"de": "key", "en": "the", "es": "data", "zh": "row"}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word lang-id heuristic: argmax over per-language marker
+    occurrence counts, deterministic tiebreak by language code."""
+    d = _docs(spark, sf_dir)
+    for lang, marker in LANG_MARKERS.items():
+        cnt = (
+            F.length("text") - F.length(F.replace("text", F.lit(marker)))
+        ) / F.length(F.lit(marker))
+        d = d.withColumn(f"c_{lang}", cnt.cast("int"))
+    structs = F.array(
+        *[
+            F.struct(
+                F.col(f"c_{lang}").alias("c"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # argmax: max over (count, reversed-lang) then take lang of max count with
+    # asc lang tiebreak -> sort by (c desc, lang asc), take first
+    pred = F.expr(
+        "array_sort(preds, (l, r) -> case when l.c > r.c then -1 "
+        "when l.c < r.c then 1 when l.lang < r.lang then -1 "
+        "when l.lang > r.lang then 1 else 0 end)[0].lang"
+    )
+    return (
+        d.withColumn("preds", structs)
+        .select(
+            "doc_id",
+            "lang",
+            pred.alias("lang_pred"),
+        )
+        .withColumn("correct", (F.col("lang") == F.col("lang_pred")).cast("int"))
+    )
+
+
+def _d_marker_cnt(marker: str) -> str:
+    return (
+        f"CAST((length(text) - length(replace(text, '{marker}', '')))"
+        f" / length('{marker}') AS INT)"
+    )
+
+
+O_LANG_ID = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {", ".join(f"{_d_marker_cnt(m)} AS c_{lang}" for lang, m in sorted(LANG_MARKERS.items()))}
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang, t.lang_c AS lang_pred,
+           row_number() OVER (PARTITION BY doc_id ORDER BY t.c DESC, t.lang_c ASC)
+               AS rn
+    FROM scored,
+         unnest([{", ".join(f"{{'c': c_{lang}, 'lang_c': '{lang}'}}" for lang in sorted(LANG_MARKERS))}])
+             AS u(t)
+)
+SELECT doc_id, lang, lang_pred,
+       CAST(lang = lang_pred AS INT) AS correct
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate
+    (ceil(len/4) per word)."""
+    d = _docs(spark, sf_dir).withColumn("w", F.expr(WORDS_EXPR))
+    return d.select(
+        "doc_id",
+        F.size("w").alias("n_ws_tokens"),
+        F.expr("aggregate(w, 0, (a, x) -> a + int((length(x) + 3) div 4))").alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+O_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len({D_WORDS}) AS INT) AS n_ws_tokens,
+       CAST(list_sum(list_transform({D_WORDS}, x -> (length(x) + 3) // 4)) AS INT)
+           AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text md5 + winnowing-style min-hash
+    over 8-word windows."""
+    d = _docs(spark, sf_dir).withColumn("w", F.expr(WORDS_EXPR))
+    windows = F.expr(
+        "transform(sequence(0, greatest(size(w) - 8, 0)), "
+        "i -> md5(concat_ws(' ', slice(w, i + 1, 8))))"
+    )
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.array_min(windows).alias("win_fingerprint"),
+    )
+
+
+O_DOC_FINGERPRINT = f"""
+WITH base AS (SELECT doc_id, text, {D_WORDS} AS w FROM documents)
+SELECT doc_id, md5(text) AS text_md5,
+       list_min(list_transform(range(1, greatest(len(w) - 8, 0) + 2),
+                i -> md5(array_to_string(list_slice(w, i, i + 7), ' '))))
+           AS win_fingerprint
+FROM base
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "dedup_embedding_near": q_dedup_embedding_near,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_ngram_jaccard": O_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": O_DEDUP_MINHASH_LSH,
+    "dedup_simhash": O_DEDUP_SIMHASH,
+    "ann_cosine_topk": O_ANN_COSINE_TOPK,
+    "ann_lsh_buckets": O_ANN_LSH_BUCKETS,
+    "dedup_embedding_near": O_DEDUP_EMBEDDING_NEAR,
+    "text_quality": O_TEXT_QUALITY,
+    "lang_id": O_LANG_ID,
+    "token_count": O_TOKEN_COUNT,
+    "doc_fingerprint": O_DOC_FINGERPRINT,
+}

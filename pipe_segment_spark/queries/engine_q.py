@@ -1,0 +1,72 @@
+"""Full-engine queries: the multi-open greedy segmenter and multimodal
+plumbing. Not SQL-expressible (stateful per-key sequential algorithms) —
+driver records rows-only checks; exact-match correctness is enforced in
+pytest against the pure-Python oracle (tests/test_segmenter_vs_oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipe_segment_spark.config import DEFAULT_PARAMS
+from pipe_segment_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from pipe_segment_spark.pipeline import run_batch_pipeline
+from pipe_segment_spark.sources.token_stream import token_stream
+
+
+def q_segmenter_full_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full greedy segmenter (multi-open fragments + cross-day matching):
+    per-(seg, day) stats with counted identities flattened to strings."""
+    out = run_batch_pipeline(token_stream(spark, sf_dir), DEFAULT_PARAMS)
+    return out.segments.select(
+        "seg_id",
+        "frag_id",
+        "doc_id",
+        "timestamp",
+        "first_timestamp",
+        "daily_msg_count",
+        "cumulative_msg_count",
+        F.to_json("daily_identities").alias("daily_identities_json"),
+        F.to_json("cumulative_identities").alias("cumulative_identities_json"),
+    )
+
+
+def q_segmenter_full_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full segmenter: every record tagged with nullable frag_id/seg_id."""
+    out = run_batch_pipeline(token_stream(spark, sf_dir), DEFAULT_PARAMS)
+    return out.tagged_records.select(
+        "doc_id",
+        "timestamp",
+        "msgid",
+        F.array_join("tokens", ",").alias("tokens_s"),
+        "frag_id",
+        "seg_id",
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload + metadata -> mapInPandas feature
+    extraction (decode stubbed, deterministic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.expr("aggregate(features, 0D, (a, x) -> a + x)"), 6).alias(
+            "feat_sum"
+        ),
+    )
+
+
+QUERIES = {
+    "segmenter_full_segments": q_segmenter_full_segments,
+    "segmenter_full_tagged": q_segmenter_full_tagged,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {}

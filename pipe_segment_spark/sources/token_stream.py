@@ -47,7 +47,9 @@ def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id"
         ),
         F.col("event_type").alias("source"),
-        F.col("ts").alias("timestamp"),
+        # parquet timestamps arrive as TIMESTAMP_NTZ; the engine's event time
+        # is tz-aware UTC (session tz is UTC, so the cast is wall-clock no-op)
+        F.col("ts").cast("timestamp").alias("timestamp"),
         F.expr(
             f"transform(sequence(1, cast(event_id % {LEN_MOD} as int) + 1), "
             f"i -> cast((event_id * 31 + i * 7) % {VOCAB} as int))"

@@ -1,0 +1,37 @@
+"""Driver-contract gate: every queries() entry runs, and every oracle_sql()
+entry matches DuckDB exactly (row count + columns + order-insensitive value
+multiset) at the small scale factor. Mirrors the external driver's check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipe_segment_spark.queries import ORACLES, QUERIES
+
+from tests.conftest import SF_DIR
+from tests.driver_mimic import compare, duck_con
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, con, name):
+    r = compare(
+        spark, con, name, QUERIES[name], ORACLES.get(name), SF_DIR, verbose=False
+    )
+    assert r["status"] in ("OK", "rows-only"), r["status"]
+    assert r["spark_rows"] > 0 or name in ("customers_without_orders",)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert set(e.oracle_sql()) <= set(e.queries())
