@@ -1,0 +1,210 @@
+"""Streaming engine tests: stream==batch equivalence, watermark late-drop,
+checkpoint recovery with byte-identical assignments, exactly-once sink under
+incremental feeding. (SURVEY.md §7 Phase 3.)
+
+Input is fed as parquet files dropped into a watched directory, one file per
+event day — the streaming analog of the reference's daily batch runs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pipe_segment_spark.config import SegmenterParams
+from pipe_segment_spark.pipeline import run_batch_pipeline
+from pipe_segment_spark.sources.token_stream import token_stream
+from pipe_segment_spark.streaming.segmenter_stream import stream_segment
+from pipe_segment_spark.streaming.sink import idempotent_batch_writer, read_sink
+
+from tests.conftest import SF_DIR
+
+PARAMS = SegmenterParams()
+
+INPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("source", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+        StructField("msgid", StringType()),
+        StructField("rec_type", StringType()),
+        StructField("ident_value", StringType()),
+    ]
+)
+
+
+def _write_day_files(spark, tmpdir, n_days=4):
+    """Split the sf-derived stream into one parquet file per day."""
+    df = token_stream(spark, SF_DIR)
+    days = sorted(
+        r["d"] for r in df.select(F.to_date("timestamp").alias("d")).distinct().collect()
+    )[:n_days]
+    in_dir = os.path.join(tmpdir, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    paths = []
+    full = df.where(F.to_date("timestamp").isin([str(d) for d in days]))
+    for i, d in enumerate(days):
+        day_df = df.where(F.to_date("timestamp") == F.lit(str(d)))
+        p = os.path.join(tmpdir, f"day_{i}.parquet")
+        day_df.coalesce(1).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return full, in_dir, paths
+
+
+def _feed(spark, in_dir, path, idx):
+    """Move one day's rows into the watched dir as a single file."""
+    df = spark.read.parquet(path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(in_dir, f"feed_{idx}")
+    )
+
+
+def _run_stream(spark, in_dir, out_dir, ckpt):
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    out = stream_segment(stream, PARAMS)
+    return (
+        out.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _await(q, timeout=120):
+    q.awaitTermination(timeout)
+    assert not q.isActive
+
+
+@pytest.fixture(scope="module")
+def stream_case(spark, tmp_path_factory):
+    tmpdir = str(tmp_path_factory.mktemp("stream"))
+    full, in_dir, paths = _write_day_files(spark, tmpdir, n_days=4)
+    return tmpdir, full, in_dir, paths
+
+
+def _batch_expected(full):
+    out = run_batch_pipeline(full, PARAMS)
+    tagged = {
+        r["msgid"]: r["frag_id"] for r in out.tagged_records.collect()
+    }
+    segmap = {
+        (r["frag_id"]): (r["seg_id"], str(r["date"]))
+        for r in out.segmap.collect()
+    }
+    return tagged, segmap
+
+
+def test_stream_equals_batch_and_recovers(spark, stream_case):
+    """Feed days incrementally with a stop/restart (checkpoint recovery)
+    between feeds; final tagged + segmap output must equal the batch engine
+    byte-for-byte. The final day's segmap rows emit via event-time timeout
+    once the watermark passes (availableNow drains all feeds)."""
+    tmpdir, full, in_dir, paths = stream_case
+    out_dir = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+
+    # feed day 0+1, run to completion, stop (simulates shutdown)
+    _feed(spark, in_dir, paths[0], 0)
+    _feed(spark, in_dir, paths[1], 1)
+    q = _run_stream(spark, in_dir, out_dir, ckpt)
+    _await(q)
+
+    # restart from checkpoint, feed remaining days one by one
+    _feed(spark, in_dir, paths[2], 2)
+    q = _run_stream(spark, in_dir, out_dir, ckpt)
+    _await(q)
+    _feed(spark, in_dir, paths[3], 3)
+    q = _run_stream(spark, in_dir, out_dir, ckpt)
+    _await(q)
+
+    result = read_sink(spark, out_dir)
+    got_tagged = {
+        r["msgid"]: r["frag_id"]
+        for r in result.where(F.col("kind") == "tagged").collect()
+    }
+    got_segmap = {
+        r["frag_id"]: (r["seg_id"], r["date"])
+        for r in result.where(F.col("kind") == "segmap").collect()
+    }
+
+    exp_tagged, exp_segmap = _batch_expected(full)
+    assert got_tagged == exp_tagged
+    # stream closes days only when the watermark passes them: the last fed
+    # day may still be open. All closed days must match batch exactly.
+    open_days = {max(d for _, d in exp_segmap.values())}
+    exp_closed = {
+        f: v for f, v in exp_segmap.items() if v[1] not in open_days
+    }
+    for f, v in got_segmap.items():
+        assert exp_segmap[f] == v, f
+    assert set(got_segmap) >= set(exp_closed)
+
+
+def test_exactly_once_replay(spark, stream_case, tmp_path):
+    """Re-running an identical microbatch (same batch_id) must leave the
+    sink unchanged: partition-scoped overwrite is idempotent."""
+    tmpdir, full, in_dir, paths = stream_case
+    out_dir = str(tmp_path / "out")
+    writer = idempotent_batch_writer(out_dir)
+    df = spark.read.parquet(paths[0]).withColumn("kind", F.lit("tagged"))
+    writer(df, 0)
+    once = sorted(
+        tuple(r) for r in read_sink(spark, out_dir).select("msgid").collect()
+    )
+    writer(df, 0)  # replay
+    twice = sorted(
+        tuple(r) for r in read_sink(spark, out_dir).select("msgid").collect()
+    )
+    assert once == twice
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Records older than the watermark are dropped by the stateful op
+    (reference analog: cross-day late data never rejoins old segments)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows_ontime = [
+        ("d1", "s", base + dt.timedelta(days=i, hours=h), [1, 2], 10 + h, f"m{i}{h}", "POS", None)
+        for i in range(3)
+        for h in (1, 2)
+    ]
+    late = [("d1", "s", base - dt.timedelta(days=2), [1, 2], 10, "late0", "POS", None)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(rows_ontime, INPUT_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(in_dir, "feed_0")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = _run_stream(spark, in_dir, out_dir, ckpt)
+    _await(q)
+    # late record: 2 days before anything seen — watermark (max event time)
+    # has passed it
+    spark.createDataFrame(late, INPUT_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(in_dir, "feed_1")
+    )
+    q = _run_stream(spark, in_dir, out_dir, ckpt)
+    _await(q)
+    result = read_sink(spark, out_dir)
+    msgids = {r["msgid"] for r in result.where(F.col("kind") == "tagged").collect()}
+    assert "late0" not in msgids
+    assert {f"m{i}{h}" for i in range(3) for h in (1, 2)} <= msgids
