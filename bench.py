@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "throughput": {...}}
+
+Scaling-efficiency evidence (north_rule: >=0.8 from N to 4N executors) is
+produced by bench_scaling.py (two parallelism levels, same input) and
+recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "segmenter_full_segments",  # the flagship stateful CEP pipeline
+    "seg_sessionize",  # linear-mode sessionization (pure Catalyst)
+    "seg_fragments",
+    "seg_segments_daily",
+    "bad_hours_filter",
+    "dedup_minute",
+    "hourly_counts",
+    "theta_join_pairs",
+    "pricing_summary",
+    "order_revenue",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def _force(df) -> int:
+    """Fully execute the plan; count() via agg avoids driver collect."""
+    return df.count()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pipe_segment_spark.queries import QUERIES
+    from pipe_segment_spark.session import build_session
+
+    spark = build_session(app_name="pipe-segment-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow paths once so per-query numbers are steady-state
+    _force(QUERIES["token_stream"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows[name] = _force(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    n_records = _force(QUERIES["token_stream"](spark, sf_dir))
+    seg_time = times["segmenter_full_segments"]
+    throughput = {
+        "segmenter_records_per_sec": round(n_records / seg_time, 1),
+        "segmenter_segments_per_sec": round(
+            rows["segmenter_full_segments"] / seg_time, 1
+        ),
+        "input_records": n_records,
+        "segments_emitted": rows["segmenter_full_segments"],
+    }
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (sum) at sf; segments/sec in throughput",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "cpus": int(cpus),
+                "throughput": throughput,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -38,33 +38,82 @@ INPUT_COLS = [
 ]
 
 
+US_PER_DAY = 86_400_000_000
+
+# narrow projection shipped into the fragmenter UDF: the heavy ``tokens``
+# payload never crosses the Python boundary (it's reduced to a boolean
+# ``has_payload`` JVM-side and re-attached by the msgid join afterwards)
+_UDF_COLS = "doc_id timestamp msgid n_tok rec_type source has_payload".split()
+
+
+def assign_frag_ids(pdf, params: SegmenterParams):
+    """Kernel driver for one doc_id: deterministic sort, then per-day runs
+    with fresh fragmenter state (the reference groups by (ssvid, day),
+    pipeline.py:211-217 — day continuity is the greedy merger's job)."""
+    import pandas as pd
+
+    pdf = sort_group(pdf)
+    ts_day = (
+        pdf["timestamp"].to_numpy("datetime64[us]").astype("int64") // US_PER_DAY
+    )
+    frag_ids = []
+    start = 0
+    n = len(pdf)
+    for i in range(1, n + 1):
+        if i == n or ts_day[i] != ts_day[start]:
+            ids, _, _ = fragment_group(pdf.iloc[start:i], params)
+            frag_ids.extend(ids)
+            start = i
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "msgid": pdf["msgid"], "frag_id": frag_ids}
+    )
+
+
 def tag_fragments(
-    records: DataFrame, params: SegmenterParams = DEFAULT_PARAMS
+    records: DataFrame,
+    params: SegmenterParams = DEFAULT_PARAMS,
+    persist_map: bool = False,
 ) -> DataFrame:
     """records -> records + frag_id (null = noise).
 
-    Groups on (doc_id, event-day). The day window mirrors the reference's
-    GroupBySsvidAndDay (pipeline.py:211-217); cross-day continuity is
-    restored downstream by the greedy merger (segment_map.py), exactly as in
-    the reference.
+    Physical shape: shuffle once on doc_id, run the stateful kernel over
+    narrow columns (Arrow both ways ~40 bytes/row), shuffle-join the
+    (msgid -> frag_id) map back onto the full rows. Day grouping happens
+    inside the kernel — one Arrow batch per key instead of per (key, day)
+    amortizes the per-group overhead ~30x.
     """
-
-    def fn(pdf):
-        pdf = sort_group(pdf)
-        frag_ids, _, _ = fragment_group(pdf, params)
-        out = pdf[INPUT_COLS].copy()
-        out["frag_id"] = frag_ids
-        return out
-
     cols = [c for c in INPUT_COLS if c in records.columns]
     missing = [c for c in INPUT_COLS if c not in records.columns]
     df = records.select(*cols)
     for c in missing:  # optional columns default to null
         df = df.withColumn(c, F.lit(None).cast("string"))
-    return (
-        df.repartition("doc_id")  # explicit co-location (north_rule)
-        .groupBy("doc_id", F.to_date("timestamp").alias("__day"))
-        .applyInPandas(lambda key, pdf: fn(pdf), schema=TAGGED_SCHEMA)
+
+    narrow = df.select(
+        *[c for c in _UDF_COLS if c != "has_payload"],
+        (
+            F.col("tokens").isNotNull()
+            & (F.size("tokens") > 0)
+            & F.col("n_tok").isNotNull()
+        ).alias("has_payload"),
+    )
+    frag_map = (
+        narrow.repartition("doc_id")  # explicit co-location (north_rule)
+        .groupBy("doc_id")
+        .applyInPandas(
+            lambda key, pdf: assign_frag_ids(pdf, params),
+            schema="doc_id string, msgid string, frag_id string",
+        )
+    )
+    if persist_map:
+        # the narrow (msgid, frag_id) map is the only UDF product — persisting
+        # it lets every downstream consumer reuse one kernel pass while the
+        # token-heavy record columns re-flow from the (column-pruned) scan
+        frag_map = frag_map.persist()
+    # shuffle-hash join, never broadcast: frag_map has one row per RECORD
+    # (not per fragment) — a broadcast would ship the whole keyspace to
+    # every task
+    return df.join(frag_map.hint("shuffle_hash"), ["doc_id", "msgid"], "left").select(
+        *INPUT_COLS, "frag_id"
     )
 
 

@@ -86,50 +86,98 @@ def fragment_group(
     doc_id = pdf["doc_id"].iloc[0]
     ts_us = pdf["timestamp"].to_numpy("datetime64[us]").astype(np.int64)
     n_tok = pdf["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
-    rec_type = pdf["rec_type"].to_numpy()
-    tokens = pdf["tokens"].to_numpy()
+    if "has_payload" in pdf.columns:
+        noise_arr = ~pdf["has_payload"].to_numpy(dtype=bool) | np.isnan(n_tok)
+    else:
+        tokens = pdf["tokens"].to_numpy()
+        noise_arr = np.fromiter(
+            (t is None or len(t) == 0 for t in tokens), dtype=bool, count=n
+        ) | np.isnan(n_tok)
+    is_ident = pdf["rec_type"].to_numpy() == "IDENT"
 
     open_frags: list[OpenFragState] = list(state or [])
+    out, state_out, nk = _fragment_loop(
+        doc_id, ts_us, n_tok, noise_arr, is_ident, open_frags, next_k, params
+    )
+    frag_ids[:] = out
+    return frag_ids, state_out, nk
+
+
+def _fragment_loop(
+    doc_id, ts_us, n_tok, noise_arr, is_ident, open_frags, next_k, params
+):
+    """Tight inner loop over one sorted run. Parallel local lists instead of
+    attribute access; scoring inlined (identical math to
+    SegmenterParams.pair_score)."""
+    n = len(ts_us)
+    out = [None] * n
     max_gap_us = params.max_gap_hours * MICROS_PER_HOUR
+    max_gap_h = params.max_gap_hours
+    max_rate = params.max_dtok_rate
+    buf_h = params.buffer_hours
+    h_exp = params.hours_exp
+    max_open = params.max_open_fragments
+
+    f_last_us = [f.last_us for f in open_frags]
+    f_last_nt = [float(f.last_n_tok) for f in open_frags]
+    f_objs = list(open_frags)
 
     for i in range(n):
         t = ts_us[i]
         # age out fragments beyond the gap window (bounds state size)
-        if open_frags:
-            open_frags = [f for f in open_frags if t - f.last_us <= max_gap_us]
-        tok = tokens[i]
-        noise = tok is None or len(tok) == 0 or np.isnan(n_tok[i])
-        if noise:
-            frag_ids[i] = None
+        if f_last_us and t - min(f_last_us) > max_gap_us:
+            keep = [j for j, lu in enumerate(f_last_us) if t - lu <= max_gap_us]
+            f_last_us = [f_last_us[j] for j in keep]
+            f_last_nt = [f_last_nt[j] for j in keep]
+            f_objs = [f_objs[j] for j in keep]
+        if noise_arr[i]:
             continue
         nt = n_tok[i]
-        best = None
+        best = -1
         best_score = 0.0
-        for f in open_frags:
-            h = (t - f.last_us) / MICROS_PER_HOUR
-            s = params.pair_score(nt - f.last_n_tok, h)
+        for j in range(len(f_objs)):
+            h = (t - f_last_us[j]) / MICROS_PER_HOUR
+            d = nt - f_last_nt[j]
+            if d < 0.0:
+                d = -d
+            ph = h if h > buf_h else buf_h
+            r = d / ph
+            if r > max_rate or h > max_gap_h:
+                continue
+            s = (1.0 - r / max_rate) / (1.0 + h**h_exp)
             if s > best_score:
-                best, best_score = f, s
-        if rec_type[i] == "IDENT":
+                best, best_score = j, s
+        if is_ident[i]:
             # identity-only record: attach for signature counting, don't
             # advance the fragment (reference AIS.5 behavior,
             # tests/transform/test_fragment.py:181-245)
-            frag_ids[i] = best.frag_id if best is not None else None
+            out[i] = f_objs[best].frag_id if best >= 0 else None
             continue
-        if best is None:
-            if len(open_frags) >= params.max_open_fragments:
-                open_frags.sort(key=lambda f: (f.last_us, f.k))
-                open_frags.pop(0)
-            best = OpenFragState(
+        if best < 0:
+            if len(f_objs) >= max_open:
+                # evict stalest (earliest last_us, then k) deterministically
+                j_ev = min(
+                    range(len(f_objs)),
+                    key=lambda j: (f_last_us[j], f_objs[j].k),
+                )
+                del f_last_us[j_ev], f_last_nt[j_ev], f_objs[j_ev]
+            fo = OpenFragState(
                 next_k, int(t), int(nt), frag_id_of_us(doc_id, int(t), next_k)
             )
             next_k += 1
-            open_frags.append(best)
-        best.last_us = int(t)
-        best.last_n_tok = int(nt)
-        frag_ids[i] = best.frag_id
+            f_objs.append(fo)
+            f_last_us.append(int(t))
+            f_last_nt.append(float(nt))
+            best = len(f_objs) - 1
+        else:
+            f_last_us[best] = int(t)
+            f_last_nt[best] = float(nt)
+        fo = f_objs[best]
+        fo.last_us = int(t)
+        fo.last_n_tok = int(nt)
+        out[i] = fo.frag_id
 
-    return frag_ids, open_frags, next_k
+    return out, f_objs, next_k
 
 
 def greedy_merge(

@@ -46,13 +46,17 @@ def run_batch_pipeline(
     params: SegmenterParams = DEFAULT_PARAMS,
     persist: bool = True,
 ) -> SegmentOutputs:
-    tagged = tag_fragments(records, params)
-    if persist:
-        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist policy: only SMALL intermediates are pinned — the narrow
+    # (msgid, frag_id) kernel output (inside tag_fragments), the fragment
+    # summaries (1 row/fragment), and the segmap. The token-heavy record
+    # columns are never cached; they re-flow from the column-pruned scan.
+    tagged = tag_fragments(records, params, persist_map=persist)
     fragments = fragments_from_tagged(tagged)
     if persist:
         fragments = fragments.persist(StorageLevel.MEMORY_AND_DISK)
     segmap = create_segment_map(fragments, params)
+    if persist:
+        segmap = segmap.persist(StorageLevel.MEMORY_AND_DISK)
     tagged_out = tag_records_with_seg_id(tagged, segmap)
     frags_out = tag_fragments_with_seg_id(fragments, segmap)
     segments = create_segments(frags_out)

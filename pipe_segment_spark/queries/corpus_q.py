@@ -24,13 +24,15 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-# words / shingles (3-word) shared derivation
+# words / shingles (3-word) shared derivation. WORDS_EXPR is materialized
+# into a column `w` BEFORE shingling: referencing the split inside the
+# transform lambda would re-evaluate it per element (O(words^2) per doc).
 WORDS_EXPR = "filter(split(text, ' '), w -> w <> '')"
-SHINGLES_EXPR = (
-    f"case when size({WORDS_EXPR}) >= 3 then "
-    f"transform(sequence(0, size({WORDS_EXPR}) - 3), "
-    f"i -> concat({WORDS_EXPR}[i], ' ', {WORDS_EXPR}[i+1], ' ', {WORDS_EXPR}[i+2])) "
-    f"else array() end"
+SHINGLES_OF_W = (
+    "case when size(w) >= 3 then "
+    "transform(sequence(0, size(w) - 3), "
+    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) "
+    "else array() end"
 )
 
 # DuckDB twins (1-based lists)
@@ -74,7 +76,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-equi-join on shingle + count ratio)."""
     sh = (
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("sh"))
+        .withColumn("w", F.expr(WORDS_EXPR))
+        .select("doc_id", F.explode(F.expr(SHINGLES_OF_W)).alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -132,7 +135,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join -> candidate pairs with band-collision count."""
     sh = (
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("sh"))
+        .withColumn("w", F.expr(WORDS_EXPR))
+        .select("doc_id", F.explode(F.expr(SHINGLES_OF_W)).alias("sh"))
         .distinct()
     )
     hashed = sh.select(
@@ -203,7 +207,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over shingles of ±1 by hex digit high bit)."""
     sh = (
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(SHINGLES_EXPR)).alias("sh"))
+        .withColumn("w", F.expr(WORDS_EXPR))
+        .select("doc_id", F.explode(F.expr(SHINGLES_OF_W)).alias("sh"))
         .distinct()
         .withColumn("h", F.md5("sh"))
     )
