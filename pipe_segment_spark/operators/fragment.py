@@ -46,42 +46,66 @@ US_PER_DAY = 86_400_000_000
 _UDF_COLS = "doc_id timestamp msgid n_tok rec_type source has_payload".split()
 
 
+NARROW_TAGGED_SCHEMA = (
+    "doc_id string, source string, timestamp timestamp, n_tok int, "
+    "msgid string, rec_type string, ident_value string, frag_id string"
+)
+
+
 def assign_frag_ids(pdf, params: SegmenterParams):
     """Kernel driver for one doc_id: deterministic sort, then per-day runs
     with fresh fragmenter state (the reference groups by (ssvid, day),
-    pipeline.py:211-217 — day continuity is the greedy merger's job)."""
-    import pandas as pd
+    pipeline.py:211-217 — day continuity is the greedy merger's job).
+    Emits the narrow tagged rows (everything but the token payload).
+
+    Columns are extracted to numpy ONCE; the per-day runs are array slices
+    (views), not pandas sub-frames — per-group pandas overhead would
+    otherwise rival the state-machine loop itself.
+    """
+    import numpy as np
+
+    from pipe_segment_spark.operators.kernel import _fragment_loop
 
     pdf = sort_group(pdf)
-    ts_day = (
-        pdf["timestamp"].to_numpy("datetime64[us]").astype("int64") // US_PER_DAY
-    )
+    n = len(pdf)
+    doc_id = pdf["doc_id"].iloc[0] if n else ""
+    ts_us = pdf["timestamp"].to_numpy("datetime64[us]").astype("int64")
+    n_tok = pdf["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
+    noise = ~pdf["has_payload"].to_numpy(dtype=bool) | np.isnan(n_tok)
+    is_ident = pdf["rec_type"].to_numpy() == "IDENT"
+    ts_day = ts_us // US_PER_DAY
+
     frag_ids = []
     start = 0
-    n = len(pdf)
     for i in range(1, n + 1):
         if i == n or ts_day[i] != ts_day[start]:
-            ids, _, _ = fragment_group(pdf.iloc[start:i], params)
+            ids, _, _ = _fragment_loop(
+                doc_id,
+                ts_us[start:i],
+                n_tok[start:i],
+                noise[start:i],
+                is_ident[start:i],
+                [],
+                1,
+                params,
+            )
             frag_ids.extend(ids)
             start = i
-    return pd.DataFrame(
-        {"doc_id": pdf["doc_id"], "msgid": pdf["msgid"], "frag_id": frag_ids}
-    )
+    out = pdf[
+        ["doc_id", "source", "timestamp", "n_tok", "msgid", "rec_type", "ident_value"]
+    ].copy()
+    out["frag_id"] = frag_ids
+    return out
 
 
-def tag_fragments(
-    records: DataFrame,
-    params: SegmenterParams = DEFAULT_PARAMS,
-    persist_map: bool = False,
+def tag_fragments_narrow(
+    records: DataFrame, params: SegmenterParams = DEFAULT_PARAMS
 ) -> DataFrame:
-    """records -> records + frag_id (null = noise).
-
-    Physical shape: shuffle once on doc_id, run the stateful kernel over
-    narrow columns (Arrow both ways ~40 bytes/row), shuffle-join the
-    (msgid -> frag_id) map back onto the full rows. Day grouping happens
-    inside the kernel — one Arrow batch per key instead of per (key, day)
-    amortizes the per-group overhead ~30x.
-    """
+    """records -> narrow tagged rows (all metadata columns + frag_id; the
+    heavy ``tokens`` payload never crosses the Python boundary — it is
+    reduced to a ``has_payload`` boolean JVM-side). One shuffle on doc_id;
+    day grouping happens inside the kernel, so there is one Arrow batch per
+    key instead of per (key, day) — ~30x less per-group overhead."""
     cols = [c for c in INPUT_COLS if c in records.columns]
     missing = [c for c in INPUT_COLS if c not in records.columns]
     df = records.select(*cols)
@@ -90,31 +114,48 @@ def tag_fragments(
 
     narrow = df.select(
         *[c for c in _UDF_COLS if c != "has_payload"],
+        "ident_value",
         (
             F.col("tokens").isNotNull()
             & (F.size("tokens") > 0)
             & F.col("n_tok").isNotNull()
         ).alias("has_payload"),
     )
-    frag_map = (
-        narrow.repartition("doc_id")  # explicit co-location (north_rule)
-        .groupBy("doc_id")
+    # groupBy itself hash-partitions on doc_id (the explicit co-location the
+    # north_rule asks for) — an extra repartition() would double the shuffle
+    return (
+        narrow.groupBy("doc_id")
         .applyInPandas(
             lambda key, pdf: assign_frag_ids(pdf, params),
-            schema="doc_id string, msgid string, frag_id string",
+            schema=NARROW_TAGGED_SCHEMA,
         )
     )
-    if persist_map:
-        # the narrow (msgid, frag_id) map is the only UDF product — persisting
-        # it lets every downstream consumer reuse one kernel pass while the
-        # token-heavy record columns re-flow from the (column-pruned) scan
-        frag_map = frag_map.persist()
-    # shuffle-hash join, never broadcast: frag_map has one row per RECORD
-    # (not per fragment) — a broadcast would ship the whole keyspace to
-    # every task
-    return df.join(frag_map.hint("shuffle_hash"), ["doc_id", "msgid"], "left").select(
-        *INPUT_COLS, "frag_id"
-    )
+
+
+def tag_fragments(
+    records: DataFrame,
+    params: SegmenterParams = DEFAULT_PARAMS,
+    narrow_tagged: DataFrame | None = None,
+) -> DataFrame:
+    """records -> full records + frag_id (null = noise).
+
+    The token payload is re-attached to the kernel's narrow output by a
+    shuffle-hash join on (doc_id, msgid) — never broadcast (the map has one
+    row per record, not per fragment). Callers that don't need the payload
+    (the whole fragments/segments path) use ``tag_fragments_narrow`` and
+    skip this join entirely.
+    """
+    cols = [c for c in INPUT_COLS if c in records.columns]
+    missing = [c for c in INPUT_COLS if c not in records.columns]
+    df = records.select(*cols)
+    for c in missing:
+        df = df.withColumn(c, F.lit(None).cast("string"))
+    if narrow_tagged is None:
+        narrow_tagged = tag_fragments_narrow(records, params)
+    frag_map = narrow_tagged.select("doc_id", "msgid", "frag_id")
+    return df.join(
+        frag_map.hint("shuffle_hash"), ["doc_id", "msgid"], "left"
+    ).select(*INPUT_COLS, "frag_id")
 
 
 def fragments_from_tagged(tagged: DataFrame) -> DataFrame:
@@ -143,12 +184,6 @@ def fragments_from_tagged(tagged: DataFrame) -> DataFrame:
         F.max_by(
             F.when(is_pos, F.col("n_tok")), F.when(is_pos, ord_key)
         ).alias("last_msg_n_tok"),
-        F.min_by(F.when(is_pos, F.col("tokens")), F.when(is_pos, ord_key)).alias(
-            "first_tokens"
-        ),
-        F.max_by(F.when(is_pos, F.col("tokens")), F.when(is_pos, ord_key)).alias(
-            "last_tokens"
-        ),
     )
 
     idents = (

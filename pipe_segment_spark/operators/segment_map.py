@@ -60,7 +60,6 @@ def create_segment_map(
     ]
     return (
         fragments.select(*cols)
-        .repartition("doc_id")
         .groupBy("doc_id")
         .applyInPandas(lambda key, pdf: fn(pdf), schema=SEGMAP_SCHEMA)
     )

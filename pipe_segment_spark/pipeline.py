@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 from pipe_segment_spark.config import DEFAULT_PARAMS, SegmenterParams
-from pipe_segment_spark.operators.fragment import fragments_from_tagged, tag_fragments
+from pipe_segment_spark.operators.fragment import (
+    fragments_from_tagged,
+    tag_fragments,
+    tag_fragments_narrow,
+)
 from pipe_segment_spark.operators.segment_map import create_segment_map
 from pipe_segment_spark.operators.segments import create_segments
 from pipe_segment_spark.operators.tag import (
@@ -46,17 +50,22 @@ def run_batch_pipeline(
     params: SegmenterParams = DEFAULT_PARAMS,
     persist: bool = True,
 ) -> SegmentOutputs:
-    # Persist policy: only SMALL intermediates are pinned — the narrow
-    # (msgid, frag_id) kernel output (inside tag_fragments), the fragment
-    # summaries (1 row/fragment), and the segmap. The token-heavy record
-    # columns are never cached; they re-flow from the column-pruned scan.
-    tagged = tag_fragments(records, params, persist_map=persist)
-    fragments = fragments_from_tagged(tagged)
+    # Persist policy: only SMALL intermediates are pinned — the fragment
+    # summaries (1 row per fragment) and the segmap. The kernel's narrow
+    # tagged stream flows straight into the fragment aggregation (single
+    # consumer on the segments path) without being cached; the token payload
+    # never enters that path at all and is re-attached (shuffle-hash join,
+    # lazily) only if the caller materializes ``tagged_records``.
+    narrow = tag_fragments_narrow(records, params)
+    if persist:
+        narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+    fragments = fragments_from_tagged(narrow)
     if persist:
         fragments = fragments.persist(StorageLevel.MEMORY_AND_DISK)
     segmap = create_segment_map(fragments, params)
     if persist:
         segmap = segmap.persist(StorageLevel.MEMORY_AND_DISK)
+    tagged = tag_fragments(records, params, narrow_tagged=narrow)
     tagged_out = tag_records_with_seg_id(tagged, segmap)
     frags_out = tag_fragments_with_seg_id(fragments, segmap)
     segments = create_segments(frags_out)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from pipe_segment_spark.config import DEFAULT_PARAMS, SegmenterParams
 from pipe_segment_spark.operators.fragment import (
+    NARROW_TAGGED_SCHEMA,
     INPUT_COLS,
     _UDF_COLS,
     assign_frag_ids,
@@ -50,6 +51,7 @@ def tag_fragments_salted(
     salt = (F.unix_date(F.to_date("timestamp")) / days_per_salt).cast("long")
     narrow = df.select(
         *[c for c in _UDF_COLS if c != "has_payload"],
+        "ident_value",
         (
             F.col("tokens").isNotNull()
             & (F.size("tokens") > 0)
@@ -57,14 +59,15 @@ def tag_fragments_salted(
         ).alias("has_payload"),
     ).withColumn("__salt", salt)
     frag_map = (
-        narrow.repartition("doc_id", "__salt")
-        .groupBy("doc_id", "__salt")
+        narrow.groupBy("doc_id", "__salt")  # groupBy shuffles on the salted key
         .applyInPandas(
             lambda key, pdf: assign_frag_ids(pdf, params),
-            schema="doc_id string, msgid string, frag_id string",
+            schema=NARROW_TAGGED_SCHEMA,
         )
-    )
-    return df.join(frag_map.hint("shuffle_hash"), ["doc_id", "msgid"], "left").select(*INPUT_COLS, "frag_id")
+    ).select("doc_id", "msgid", "frag_id")
+    return df.join(
+        frag_map.hint("shuffle_hash"), ["doc_id", "msgid"], "left"
+    ).select(*INPUT_COLS, "frag_id")
 
 
 __all__ = ["tag_fragments_salted", "tag_fragments"]

@@ -52,6 +52,12 @@ from pipe_segment_spark.operators.kernel import (
 
 US_PER_DAY = 86_400_000_000
 
+# canonical input-stream schema (BASELINE.json input_hint shape)
+INPUT_SCHEMA_DDL = (
+    "doc_id string, source string, timestamp timestamp, tokens array<int>, "
+    "n_tok int, msgid string, rec_type string, ident_value string"
+)
+
 OUTPUT_SCHEMA = StructType(
     [
         StructField("kind", StringType()),
