@@ -44,8 +44,8 @@ def _progress_row(p) -> dict:
         p = json.loads(p.json)
     state_ops = p.get("stateOperators") or []
     return {
-        "query_id": p.get("id"),
-        "run_id": p.get("runId"),
+        "query_id": str(p.get("id")),
+        "run_id": str(p.get("runId")),
         "batch_id": p.get("batchId"),
         "timestamp": p.get("timestamp"),
         "num_input_rows": p.get("numInputRows"),
