@@ -8,11 +8,17 @@ ops: the full multi-open greedy segmenter, streaming, multimodal stubs).
 
 from __future__ import annotations
 
-from pipe_segment_spark.queries import corpus_q, engine_q, relational_q, segmenter_q
+from pipe_segment_spark.queries import (
+    corpus_q,
+    engine_q,
+    relational_q,
+    segmenter_q,
+    windows_q,
+)
 
 QUERIES = {}
 ORACLES = {}
-for mod in (segmenter_q, relational_q, corpus_q, engine_q):
+for mod in (segmenter_q, relational_q, corpus_q, engine_q, windows_q):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
