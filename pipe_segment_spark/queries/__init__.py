@@ -12,13 +12,14 @@ from pipe_segment_spark.queries import (
     corpus_q,
     engine_q,
     relational_q,
+    scalars_q,
     segmenter_q,
     windows_q,
 )
 
 QUERIES = {}
 ORACLES = {}
-for mod in (segmenter_q, relational_q, corpus_q, engine_q, windows_q):
+for mod in (segmenter_q, relational_q, corpus_q, engine_q, windows_q, scalars_q):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
