@@ -52,20 +52,14 @@ class OpenFragState:
 def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic multi-key sort (reference fragment.py:115-140): stable
     mergesort; None -> greatest for numerics / '' for strings."""
-    tmp = pd.DataFrame(
-        {
-            "__ts": pdf["timestamp"].to_numpy("datetime64[us]"),
-            "__msgid": pdf["msgid"].fillna(""),
-            "__n_tok": pdf["n_tok"].fillna(np.iinfo(np.int64).max),
-            "__source": pdf["source"].fillna(""),
-            "__rec": pdf["rec_type"].fillna(""),
-        },
-        index=pdf.index,
-    )
-    order = tmp.sort_values(
-        ["__ts", "__msgid", "__n_tok", "__source", "__rec"], kind="mergesort"
-    ).index
-    return pdf.loc[order]
+    ts = pdf["timestamp"].to_numpy("datetime64[us]").astype("int64")
+    msgid = pdf["msgid"].fillna("").to_numpy(dtype="U")
+    n_tok = pdf["n_tok"].fillna(np.iinfo(np.int64).max).to_numpy(dtype="int64")
+    source = pdf["source"].fillna("").to_numpy(dtype="U")
+    rec = pdf["rec_type"].fillna("").to_numpy(dtype="U")
+    # lexsort: LAST key is primary; numpy lexsort is stable
+    order = np.lexsort((rec, source, n_tok, msgid, ts))
+    return pdf.iloc[order]
 
 
 def fragment_group(
@@ -117,6 +111,13 @@ def _fragment_loop(
     buf_h = params.buffer_hours
     h_exp = params.hours_exp
     max_open = params.max_open_fragments
+
+    # numpy scalar arithmetic is ~3x slower than native python in a tight
+    # loop — pull everything into python lists once
+    ts_us = ts_us.tolist() if hasattr(ts_us, "tolist") else ts_us
+    n_tok = n_tok.tolist() if hasattr(n_tok, "tolist") else n_tok
+    noise_arr = noise_arr.tolist() if hasattr(noise_arr, "tolist") else noise_arr
+    is_ident = is_ident.tolist() if hasattr(is_ident, "tolist") else is_ident
 
     f_last_us = [f.last_us for f in open_frags]
     f_last_nt = [float(f.last_n_tok) for f in open_frags]

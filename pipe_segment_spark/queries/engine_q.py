@@ -63,9 +63,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segmenter_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming segmenter end-to-end: feed the sf-derived
+    stream through applyInPandasWithState (watermark day-closing) into the
+    exactly-once sink via availableNow, return the drained output. Output
+    equals the batch engine on closed days (tests/test_streaming.py)."""
+    import tempfile
+
+    from pipe_segment_spark.streaming.segmenter_stream import (
+        INPUT_SCHEMA_DDL,
+        stream_segment,
+    )
+    from pipe_segment_spark.streaming.sink import idempotent_batch_writer, read_sink
+
+    tmp = tempfile.mkdtemp(prefix="seg_stream_q_")
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    token_stream(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(in_dir)
+    q = (
+        spark.readStream.schema(INPUT_SCHEMA_DDL)
+        .parquet(in_dir)
+        .transform(lambda df: stream_segment(df, DEFAULT_PARAMS))
+        .writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return read_sink(spark, out_dir).select(
+        "kind", "doc_id", "timestamp", "msgid", "frag_id", "seg_id", "date"
+    )
+
+
 QUERIES = {
     "segmenter_full_segments": q_segmenter_full_segments,
     "segmenter_full_tagged": q_segmenter_full_tagged,
+    "segmenter_streaming": q_segmenter_streaming,
     "multimodal_features": q_multimodal_features,
 }
 
