@@ -31,6 +31,7 @@ import json
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     StringType,
@@ -169,6 +170,22 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
             )
         else:
             batch = pd.concat(list(pdf_iter), ignore_index=True)
+            # state bootstrap (reference ReadFragments, read_fragments.py:12-99):
+            # SEED rows carry historical open-segment state — (seg_id in
+            # ident_value, last boundary in timestamp/n_tok) — and are
+            # consumed before any real records
+            if len(batch) and (batch["rec_type"] == "SEED").any():
+                seeds = batch[batch["rec_type"] == "SEED"]
+                batch = batch[batch["rec_type"] != "SEED"]
+                for _, s in seeds.iterrows():
+                    seg_id = s["ident_value"]
+                    last_us = int(
+                        pd.Timestamp(s["timestamp"]).to_datetime64().astype(
+                            "datetime64[us]"
+                        ).astype("int64")
+                    )
+                    open_segs[seg_id] = (last_us, int(s["n_tok"]))
+                batch = batch.reset_index(drop=True)
             if len(batch):
                 batch = sort_group(batch)
                 ts_us_all = (
@@ -274,4 +291,22 @@ def stream_segment(
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def seed_rows_from_fragments(fragments: DataFrame) -> DataFrame:
+    """Encode a historical fragments table (with seg_id) as SEED records for
+    cold-start state bootstrap (reference ReadFragments: open segments from
+    history flow into the first day's matching). Union these ahead of the
+    record stream: ``seeds.unionByName(stream)`` (batch table + stream union
+    requires writing seeds into the stream source's first file)."""
+    return fragments.select(
+        F.col("doc_id"),
+        F.lit("seed").alias("source"),
+        F.col("last_msg_timestamp").alias("timestamp"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.col("last_msg_n_tok").cast("int").alias("n_tok"),
+        F.concat(F.lit("seed-"), F.col("frag_id")).alias("msgid"),
+        F.lit("SEED").alias("rec_type"),
+        F.col("seg_id").alias("ident_value"),
     )

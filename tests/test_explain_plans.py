@@ -1,0 +1,53 @@
+"""Plan-regression tests: the physical plans the engine relies on at 100 TB
+must not silently degrade (PLANS.md documents the audited shapes).
+
+Checks: predicate pushdown reaches the scan, column pruning holds, the
+frag_map map-back join never broadcasts, the tiny-side joins do broadcast,
+sessionization shuffles exactly once.
+"""
+
+from __future__ import annotations
+
+from pipe_segment_spark.queries import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown(spark):
+    plan = _plan(QUERIES["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: props-free narrow read schema
+    assert "l_comment" not in plan
+
+
+def test_token_stream_column_pruning(spark):
+    plan = _plan(QUERIES["token_stream"](spark, SF_DIR))
+    # events.value and events.props are never read
+    assert "value" not in plan.split("ReadSchema")[1][:400]
+    assert "props" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_frag_map_join_never_broadcasts(spark):
+    from pipe_segment_spark.operators.fragment import tag_fragments
+    from pipe_segment_spark.sources.token_stream import token_stream
+
+    plan = _plan(tag_fragments(token_stream(spark, SF_DIR)))
+    # one row per record on the build side -> must be a shuffled hash join
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_bad_hours_broadcast_anti_join(spark):
+    plan = _plan(QUERIES["bad_hours_filter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = _plan(QUERIES["seg_sessionize"](spark, SF_DIR))
+    # lag/sum/min windows all share the doc_id partitioning: exactly one
+    # exchange (plus nothing else)
+    assert plan.count("Exchange hashpartitioning") == 1
