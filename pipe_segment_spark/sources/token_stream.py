@@ -41,6 +41,9 @@ def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     All columns are built from Catalyst expressions (whole-stage codegen,
     no Python). ``tokens[i] = (event_id*31 + i*7) % VOCAB`` for i in 1..m.
     """
+    # event time is canonical UTC; the driver's session may differ, and the
+    # NTZ->timestamp cast below is session-tz-sensitive
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
         F.concat(F.lit("d"), (F.col("user_id") % N_DOCS).cast("string")).alias(
