@@ -3,13 +3,16 @@
 Spark-first architecture (vs the reference's Beam GroupByKey + per-row dicts,
 pipeline.py:211-217 + transform/fragment.py):
 
-1. ``tag_fragments``: ONE ``applyInPandas`` pass over ``groupBy(doc_id,
-   window(ts, '1 day'))`` emits the input rows + ``frag_id`` (nullable for
-   noise). This is the only non-Catalyst step.
+1. ``tag_fragments_narrow``: ONE ``applyInPandas`` pass over
+   ``groupBy(doc_id)`` (per-day runs split inside the kernel) emits narrow
+   tagged rows + ``frag_id`` (nullable for noise). This is the only
+   non-Catalyst step, and the token payload never crosses it.
 2. ``fragments_from_tagged``: fragments are derived RELATIONALLY from the
    tagged records via ``min_by``/``max_by``/explode aggregation — the
    reference's dual tagged-output (fragment.py:149-150) becomes a pure
    Catalyst aggregation with map-side partial aggs, no second UDF pass.
+3. ``tag_fragments``: full rows + frag_id via a shuffle-hash join of the
+   narrow map back onto the records (only when the caller needs payloads).
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pipe_segment_spark.config import DEFAULT_PARAMS, SegmenterParams
-from pipe_segment_spark.operators.kernel import fragment_group, sort_group
+from pipe_segment_spark.operators.kernel import sort_group
 
 TAGGED_SCHEMA = (
     "doc_id string, source string, timestamp timestamp, tokens array<int>, "
