@@ -28,6 +28,10 @@ class SegmenterParams:
     max_dtok_rate: float = 30.0
     buffer_hours: float = 0.5
     hours_exp: float = 0.5
+    # Cross-day segment<-fragment match window. The reference hardcodes
+    # ``0 < hours < 24`` in the merger independent of the fragmenter's
+    # max_hours (create_segment_map.py:43-44); we keep them independent too.
+    match_window_hours: float = 24.0
     # Bound on simultaneously-open fragments per (doc_id, day) in the
     # multi-open fragmenter; keeps state O(1) per key at 10^12 scale.
     max_open_fragments: int = 16
@@ -39,8 +43,15 @@ class SegmenterParams:
     def rate(self, dtok: float, hours: float) -> float:
         return abs(dtok) / self.penalized_hours(hours)
 
+    def _score(self, dtok: float, hours: float) -> float:
+        r = self.rate(dtok, hours)
+        if r > self.max_dtok_rate:
+            return 0.0
+        return (1.0 - r / self.max_dtok_rate) / (1.0 + hours**self.hours_exp)
+
     def pair_score(self, dtok: float, hours: float) -> float:
-        """Match quality in (0, 1]; 0.0 means "do not match".
+        """Intra-window (record <- open fragment) match quality in (0, 1];
+        0.0 means "do not match".
 
         Mirrors the shape of the reference Matcher.compute_metric path
         (create_segment_map.py:38-50): gate on the time window, compute a
@@ -49,18 +60,16 @@ class SegmenterParams:
         """
         if not (0.0 <= hours <= self.max_gap_hours):
             return 0.0
-        r = self.rate(dtok, hours)
-        if r > self.max_dtok_rate:
-            return 0.0
-        return (1.0 - r / self.max_dtok_rate) / (1.0 + hours**self.hours_exp)
+        return self._score(dtok, hours)
 
     def match_score(self, dtok: float, hours: float) -> float:
-        """Cross-window (segment <- fragment) score: requires hours > 0,
-        mirroring the reference's ``0 < hours < 24`` gate
-        (create_segment_map.py:43-44)."""
-        if hours <= 0.0:
+        """Cross-window (segment <- fragment) score: gated on
+        ``0 < hours < match_window_hours``, mirroring the reference's
+        hardcoded ``0 < hours < 24`` (create_segment_map.py:43-44) —
+        independent of the fragmenter's gap threshold."""
+        if not (0.0 < hours < self.match_window_hours):
             return 0.0
-        return self.pair_score(dtok, hours)
+        return self._score(dtok, hours)
 
 
 DEFAULT_PARAMS = SegmenterParams()

@@ -221,6 +221,22 @@ class TestReferenceShapes:
         seg_ids = {s for _, s in segmap}
         assert len(segmap) == 3 and len(seg_ids) == 2
 
+    def test_match_window_wider_than_gap(self, spark):
+        # 13h apart: beyond max_gap_hours (6) so two FRAGMENTS, but inside
+        # match_window_hours (24) so ONE segment across the day boundary —
+        # the reference's hardcoded 0<h<24 merge window
+        # (create_segment_map.py:43-44) independent of max_hours.
+        recs = [
+            make_record("d1", T0 + timedelta(hours=18), 10, "m0"),
+            make_record("d1", T0 + timedelta(hours=31), 10, "m1"),
+        ]
+        out, expected = run_both(spark, recs)
+        assert_tagged_match(out, expected)
+        segmap = {(r["frag_id"], r["seg_id"]) for r in out.segmap.collect()}
+        frag_ids = {f for f, _ in segmap}
+        seg_ids = {s for _, s in segmap}
+        assert len(frag_ids) == 2 and len(seg_ids) == 1
+
     def test_same_second_ties(self, spark):
         # identical timestamps, different msgid => deterministic tiebreak
         recs = [
