@@ -94,11 +94,23 @@ def assign_frag_ids(pdf, params: SegmenterParams):
             )
             frag_ids.extend(ids)
             start = i
-    out = pdf[
-        ["doc_id", "source", "timestamp", "n_tok", "msgid", "rec_type", "ident_value"]
-    ].copy()
+    import pandas as pd
+
+    # zero-copy column re-pack (a .copy() here costs ~3x the whole repack)
+    out = {
+        c: pdf[c].to_numpy()
+        for c in (
+            "doc_id",
+            "source",
+            "timestamp",
+            "n_tok",
+            "msgid",
+            "rec_type",
+            "ident_value",
+        )
+    }
     out["frag_id"] = frag_ids
-    return out
+    return pd.DataFrame(out, copy=False)
 
 
 def tag_fragments_narrow(
