@@ -31,6 +31,12 @@ def parse_args(argv):
     p.add_argument("--mode", choices=["batch", "stream"], default="batch")
     p.add_argument("--checkpoint", help="stream checkpoint dir (stream mode)")
     p.add_argument("--watermark", default="0 seconds")
+    p.add_argument(
+        "--available-now",
+        action="store_true",
+        help="stream mode: drain currently-available input, then exit "
+        "(the reference's daily incremental run, resumable via --checkpoint)",
+    )
     p.add_argument("--max-gap-hours", type=float, default=6.0)
     p.add_argument("--max-dtok-rate", type=float, default=30.0)
     p.add_argument("--buffer-hours", type=float, default=0.5)
@@ -86,11 +92,13 @@ def main(argv=None):
             .parquet(args.input)
         )
         out = stream_segment(stream, params, watermark=args.watermark)
-        q = (
+        writer = (
             out.writeStream.foreachBatch(idempotent_batch_writer(args.output))
             .option("checkpointLocation", args.checkpoint)
-            .start()
         )
+        if args.available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
         q.awaitTermination()
 
     spark.stop()

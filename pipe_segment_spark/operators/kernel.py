@@ -57,8 +57,12 @@ def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
     n_tok = pdf["n_tok"].fillna(np.iinfo(np.int64).max).to_numpy(dtype="int64")
     source = pdf["source"].fillna("").to_numpy(dtype="U")
     rec = pdf["rec_type"].fillna("").to_numpy(dtype="U")
+    if "ident_value" in pdf.columns:
+        ident = pdf["ident_value"].fillna("").to_numpy(dtype="U")
+    else:
+        ident = np.zeros(len(pdf), dtype="U1")
     # lexsort: LAST key is primary; numpy lexsort is stable
-    order = np.lexsort((rec, source, n_tok, msgid, ts))
+    order = np.lexsort((ident, rec, source, n_tok, msgid, ts))
     return pdf.iloc[order]
 
 

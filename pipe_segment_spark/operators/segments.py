@@ -53,13 +53,28 @@ def create_segments(fragments_with_seg: DataFrame) -> DataFrame:
         ).alias("daily_identities")
     )
     # cumulative arrays must include values seen on PRIOR days even if absent
-    # today: build from the full (seg, value) timeline joined to each day
+    # today. Linear plan (not a days x value-dates inequality join, which is
+    # quadratic in segment lifetime): scaffold (seg, day) x distinct value,
+    # forward-fill the running count with last(ignoreNulls) over a
+    # (seg, value) window ordered by date, drop rows before a value's first
+    # appearance, re-collect. Scaffold cardinality == output cardinality, so
+    # this is optimal for the materialized-array format even at 100x scale.
     days = daily.select("seg_id", "date")
+    vals = idents.select("seg_id", "value").distinct()
+    w_ff = (
+        Window.partitionBy("seg_id", "value")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum_arr = (
-        days.join(idents.select("seg_id", F.col("date").alias("vdate"), "value", "cum_cnt"), "seg_id")
-        .where(F.col("vdate") <= F.col("date"))
-        .groupBy("seg_id", "date", "value")
-        .agg(F.max("cum_cnt").alias("count"))
+        days.join(vals, "seg_id")
+        .join(
+            idents.select("seg_id", "value", "date", "cum_cnt"),
+            ["seg_id", "value", "date"],
+            "left",
+        )
+        .withColumn("count", F.last("cum_cnt", ignorenulls=True).over(w_ff))
+        .where(F.col("count").isNotNull())
         .groupBy("seg_id", "date")
         .agg(
             F.sort_array(F.collect_list(F.struct("value", "count"))).alias(

@@ -28,10 +28,12 @@ def _boundary_flag(params: SegmenterParams, cut_at_day: bool):
     rate = F.abs(F.col("n_tok") - F.col("__prev_n_tok")) / F.greatest(
         dh, F.lit(params.buffer_hours)
     )
+    # rate >= (not >): the kernel/oracle score is exactly 0.0 at
+    # rate == max_dtok_rate (config._score), i.e. no-match -> new fragment
     cond = (
         F.col("__prev_us").isNull()
         | (dh > F.lit(params.max_gap_hours))
-        | (rate > F.lit(params.max_dtok_rate))
+        | (rate >= F.lit(params.max_dtok_rate))
     )
     if cut_at_day:
         cond = cond | (
@@ -133,9 +135,12 @@ def session_tagged_records(
     stay null in linear mode) — reference TagWithSegId semantics
     (transform/tag_with_seg_id.py:9-26) via left join back to the input."""
     tagged = sessionize(records, params, cut_at_day=False, id_col="seg_id").select(
-        "msgid", "seg_id"
+        "doc_id", "msgid", "seg_id"
     )
-    return records.join(tagged, "msgid", "left").select(
+    # join on (doc_id, msgid): reuses the doc_id partitioning and is robust
+    # to cross-doc msgid collisions (uniqueness within doc_id is asserted in
+    # tests/test_tables.py::test_msgid_unique_contract)
+    return records.join(tagged, ["doc_id", "msgid"], "left").select(
         "doc_id",
         "source",
         "timestamp",

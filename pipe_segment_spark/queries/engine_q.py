@@ -18,9 +18,18 @@ from pipe_segment_spark.pipeline import run_batch_pipeline
 from pipe_segment_spark.sources.token_stream import token_stream
 
 
+def _ident_str(col: str):
+    """array<struct<value,count>> (sorted by value) -> 'value:count;...'
+    string, matching the DuckDB oracle's string_agg serialization."""
+    return F.array_join(
+        F.transform(col, lambda s: F.concat_ws(":", s.value, s.count)), ";"
+    )
+
+
 def q_segmenter_full_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full greedy segmenter (multi-open fragments + cross-day matching):
-    per-(seg, day) stats with counted identities flattened to strings."""
+    per-(seg, day) stats with counted identities flattened to strings.
+    Oracle: the recursive-CTE replay in queries/engine_oracle.py."""
     out = run_batch_pipeline(token_stream(spark, sf_dir), DEFAULT_PARAMS)
     return out.segments.select(
         "seg_id",
@@ -30,8 +39,8 @@ def q_segmenter_full_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_timestamp",
         "daily_msg_count",
         "cumulative_msg_count",
-        F.to_json("daily_identities").alias("daily_identities_json"),
-        F.to_json("cumulative_identities").alias("cumulative_identities_json"),
+        _ident_str("daily_identities").alias("daily_identities_s"),
+        _ident_str("cumulative_identities").alias("cumulative_identities_s"),
     )
 
 
@@ -101,4 +110,18 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
 }
 
-ORACLES: dict[str, str] = {}
+from pipe_segment_spark.queries.engine_oracle import (  # noqa: E402
+    oracle_full_segments,
+    oracle_full_tagged,
+    oracle_streaming,
+)
+from pipe_segment_spark.queries.multimodal_oracle import (  # noqa: E402
+    ORACLE_MULTIMODAL,
+)
+
+ORACLES: dict[str, str] = {
+    "segmenter_full_segments": oracle_full_segments(DEFAULT_PARAMS),
+    "segmenter_full_tagged": oracle_full_tagged(DEFAULT_PARAMS),
+    "segmenter_streaming": oracle_streaming(DEFAULT_PARAMS),
+    "multimodal_features": ORACLE_MULTIMODAL,
+}

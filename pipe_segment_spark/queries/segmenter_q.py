@@ -53,7 +53,7 @@ flagged AS (
            CASE WHEN prev_us IS NULL
                   OR (us - prev_us) / 3600000000.0 > {GAP}
                   OR abs(n_tok - prev_n_tok)
-                     / greatest((us - prev_us) / 3600000000.0, {BUF}) > {RATE}
+                     / greatest((us - prev_us) / 3600000000.0, {BUF}) >= {RATE}
                   {day_cut}
                 THEN 1 ELSE 0 END AS newf
     FROM lagged
@@ -181,7 +181,7 @@ WITH {TOKEN_STREAM_CTE}, {_sess_cte(False, "seg_id")}
 SELECT t.doc_id, t.source, t.timestamp,
        array_to_string(t.tokens, ',') AS tokens_s,
        t.n_tok, t.msgid, t.rec_type, s.seg_id
-FROM token_stream t LEFT JOIN sess s USING (msgid)
+FROM token_stream t LEFT JOIN sess s USING (doc_id, msgid)
 """
 
 

@@ -78,16 +78,25 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType([StructField("js", StringType())])
 
 
-def _encode_state(open_frags, next_k, cur_day, open_segs, pending_frags) -> tuple:
+def _encode_state(frag_days, open_segs, pending_frags) -> tuple:
+    """frag_days: {day_us(int) -> (open_frags list, next_k)} — per-day
+    fragmenter state, so late-but-in-watermark records for an earlier day
+    can never clobber a newer day's open fragments (each day's state machine
+    is independent, exactly like the batch engine's (doc_id, day) grouping).
+    JSON keys are stringified day_us."""
     return (
         json.dumps(
             {
-                "of": [
-                    [f.k, f.first_us, f.last_us, f.last_n_tok, f.frag_id]
-                    for f in open_frags
-                ],
-                "nk": next_k,
-                "cd": cur_day,
+                "fd": {
+                    str(day): [
+                        [
+                            [f.k, f.first_us, f.last_us, f.last_n_tok, f.frag_id]
+                            for f in of
+                        ],
+                        nk,
+                    ]
+                    for day, (of, nk) in frag_days.items()
+                },
                 "os": open_segs,
                 "pf": pending_frags,
             }
@@ -97,15 +106,16 @@ def _encode_state(open_frags, next_k, cur_day, open_segs, pending_frags) -> tupl
 
 def _decode_state(tup):
     d = json.loads(tup[0])
-    frags = []
-    for k, first_us, last_us, last_n_tok, frag_id in d["of"]:
-        f = OpenFragState(k, first_us, last_n_tok, frag_id)
-        f.last_us = last_us
-        frags.append(f)
+    frag_days = {}
+    for day, (of_raw, nk) in d["fd"].items():
+        frags = []
+        for k, first_us, last_us, last_n_tok, frag_id in of_raw:
+            f = OpenFragState(k, first_us, last_n_tok, frag_id)
+            f.last_us = last_us
+            frags.append(f)
+        frag_days[int(day)] = (frags, nk)
     return (
-        frags,
-        d["nk"],
-        d["cd"],
+        frag_days,
         {k: tuple(v) for k, v in d["os"].items()},
         d["pf"],
     )
@@ -149,13 +159,13 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
         return out, open_segs, remaining
 
     def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         doc_id = key[0]
         if state.exists:
-            open_frags, next_k, cur_day, open_segs, pending = _decode_state(
-                state.get
-            )
+            frag_days, open_segs, pending = _decode_state(state.get)
         else:
-            open_frags, next_k, cur_day, open_segs, pending = [], 1, -1, {}, []
+            frag_days, open_segs, pending = {}, {}, []
 
         rows_out = []
 
@@ -165,9 +175,7 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                 doc_id, open_segs, pending, float("inf")
             )
             rows_out.extend(out)
-            state.update(
-                _encode_state(open_frags, next_k, cur_day, open_segs, pending)
-            )
+            state.update(_encode_state(frag_days, open_segs, pending))
         else:
             batch = pd.concat(list(pdf_iter), ignore_index=True)
             # state bootstrap (reference ReadFragments, read_fragments.py:12-99):
@@ -192,66 +200,80 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                     batch["timestamp"].to_numpy("datetime64[us]").astype("int64")
                 )
                 day_us_all = (ts_us_all // US_PER_DAY) * US_PER_DAY
-                # fragmenter state is per (doc_id, day) — reset at day
-                # boundaries (batch engine groups by (doc_id, day); cross-day
-                # continuity is the merger's job)
-                frag_ids = []
+                # fragmenter state is per (doc_id, day), carried in a
+                # day-keyed dict: a late-but-in-watermark record for an
+                # earlier day continues THAT day's state machine and cannot
+                # reset a newer day's open fragments / frag counter
+                frag_ids: list = []
                 for day in pd.unique(day_us_all):
                     mask = day_us_all == day
-                    if day != cur_day:
-                        open_frags, next_k, cur_day = [], 1, int(day)
-                    ids, open_frags, next_k = fragment_group(
-                        batch.loc[mask], params, open_frags, next_k
-                    )
+                    of, nk = frag_days.get(int(day), ([], 1))
+                    ids, of, nk = fragment_group(batch.loc[mask], params, of, nk)
+                    frag_days[int(day)] = (of, nk)
                     frag_ids.extend(ids)
-                ts_us = ts_us_all
-                # tagged records out
-                for i in range(len(batch)):
-                    rows_out.append(
+                # tagged records out — columnar (no per-row Python loop)
+                n = len(batch)
+                fid_arr = np.array(frag_ids, dtype=object)
+                none_col = np.full(n, None, dtype=object)
+                rows_tagged = pd.DataFrame(
+                    {
+                        "kind": np.full(n, "tagged", dtype=object),
+                        "doc_id": np.full(n, doc_id, dtype=object),
+                        "timestamp": batch["timestamp"].to_numpy(),
+                        "msgid": batch["msgid"].to_numpy(dtype=object),
+                        "n_tok": pd.array(batch["n_tok"], dtype="Int32"),
+                        "frag_id": fid_arr,
+                        "seg_id": none_col,
+                        "date": none_col,
+                        "msg_count": pd.array([None] * n, dtype="Int64"),
+                        "first_us": pd.array([None] * n, dtype="Int64"),
+                        "last_us": pd.array([None] * n, dtype="Int64"),
+                    },
+                    copy=False,
+                )
+                yield rows_tagged
+                # pending fragment-summary updates: groupby over POS rows
+                # with a frag_id — O(fragments) python work, not O(records)
+                pos_mask = np.not_equal(fid_arr, None) & (
+                    batch["rec_type"].to_numpy() != "IDENT"
+                )
+                if pos_mask.any():
+                    upd = pd.DataFrame(
                         {
-                            "kind": "tagged",
-                            "doc_id": doc_id,
-                            "timestamp": batch["timestamp"].iloc[i],
-                            "msgid": batch["msgid"].iloc[i],
-                            "n_tok": None
-                            if pd.isna(batch["n_tok"].iloc[i])
-                            else int(batch["n_tok"].iloc[i]),
-                            "frag_id": frag_ids[i],
-                            "seg_id": None,
-                            "date": None,
-                            "msg_count": None,
-                            "first_us": None,
-                            "last_us": None,
+                            "fid": fid_arr[pos_mask],
+                            "t": ts_us_all[pos_mask],
+                            "nt": batch["n_tok"].to_numpy()[pos_mask].astype(
+                                "int64"
+                            ),
+                            "day_us": day_us_all[pos_mask],
                         }
                     )
-                # update per-day pending fragment summaries
-                by_id = {f["frag_id"]: f for f in pending}
-                for i in range(len(batch)):
-                    fid = frag_ids[i]
-                    if fid is None:
-                        continue
-                    # IDENT rows don't advance fragments
-                    if batch["rec_type"].iloc[i] == "IDENT":
-                        continue
-                    t = int(ts_us[i])
-                    nt = int(batch["n_tok"].iloc[i])
-                    day_us = (t // US_PER_DAY) * US_PER_DAY
-                    f = by_id.get(fid)
-                    if f is None:
-                        f = {
-                            "frag_id": fid,
-                            "day_us": day_us,
-                            "first_us": t,
-                            "last_us": t,
-                            "first_n_tok": nt,
-                            "last_n_tok": nt,
-                            "msg_count": 0,
-                        }
-                        by_id[fid] = f
-                        pending.append(f)
-                    f["last_us"] = t
-                    f["last_n_tok"] = nt
-                    f["msg_count"] += 1
+                    agg = upd.groupby("fid", sort=False).agg(
+                        day_us=("day_us", "first"),
+                        first_us=("t", "first"),
+                        last_us=("t", "last"),
+                        first_nt=("nt", "first"),
+                        last_nt=("nt", "last"),
+                        cnt=("t", "size"),
+                    )
+                    by_id = {f["frag_id"]: f for f in pending}
+                    for fid, row in agg.iterrows():
+                        f = by_id.get(fid)
+                        if f is None:
+                            f = {
+                                "frag_id": fid,
+                                "day_us": int(row["day_us"]),
+                                "first_us": int(row["first_us"]),
+                                "last_us": int(row["last_us"]),
+                                "first_n_tok": int(row["first_nt"]),
+                                "last_n_tok": int(row["last_nt"]),
+                                "msg_count": 0,
+                            }
+                            by_id[fid] = f
+                            pending.append(f)
+                        f["last_us"] = int(row["last_us"])
+                        f["last_n_tok"] = int(row["last_nt"])
+                        f["msg_count"] += int(row["cnt"])
 
             # close days that the watermark has fully passed
             wm_ms = state.getCurrentWatermarkMs()
@@ -261,10 +283,14 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                     doc_id, open_segs, pending, closed_day_us
                 )
                 rows_out.extend(out)
+                # fragmenter state for closed days can never be touched
+                # again (records older than the watermark are dropped
+                # upstream) — prune it so state stays O(open days)
+                frag_days = {
+                    d: v for d, v in frag_days.items() if d >= closed_day_us
+                }
 
-            state.update(
-                _encode_state(open_frags, next_k, cur_day, open_segs, pending)
-            )
+            state.update(_encode_state(frag_days, open_segs, pending))
             if pending:
                 next_close = min(f["day_us"] for f in pending) + US_PER_DAY
                 state.setTimeoutTimestamp(max(next_close // 1000, wm_ms + 1))

@@ -46,6 +46,22 @@ def test_bad_hours_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_create_segments_no_inequality_join(spark):
+    """The cumulative-identity rollup must stay linear: no join whose only
+    residual is a date inequality (the old days x value-dates plan was
+    quadratic in segment lifetime — VERDICT r01 'What's wrong' #1)."""
+    import re
+
+    from pipe_segment_spark.pipeline import run_batch_pipeline
+    from pipe_segment_spark.sources.token_stream import token_stream
+
+    out = run_batch_pipeline(token_stream(spark, SF_DIR), persist=False)
+    plan = _plan(out.segments)
+    # no inequality-only join condition on dates anywhere in the plan
+    assert not re.search(r"Join .*\(date.*[<>]=? *date", plan), plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_sessionize_single_shuffle(spark):
     plan = _plan(QUERIES["seg_sessionize"](spark, SF_DIR))
     # lag/sum/min windows all share the doc_id partitioning: exactly one

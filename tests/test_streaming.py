@@ -177,6 +177,68 @@ def test_exactly_once_replay(spark, stream_case, tmp_path):
     assert once == twice
 
 
+def test_late_day_does_not_clobber_newer_state(spark, tmp_path):
+    """A late-but-in-watermark record for an EARLIER day arriving in a later
+    microbatch must continue that day's fragmenter state — not reset the
+    current day's open fragments / frag counter (per-day keyed state).
+    Regression for the cross-batch day-regression bug (ADVICE r01, medium)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def rec(day, hour, nt, mid):
+        return ("d1", "s", base + dt.timedelta(days=day, hours=hour),
+                [1, 2], nt, mid, "POS", None)
+
+    feed0 = [rec(0, 10, 10, "a0"), rec(0, 11, 12, "a1"), rec(1, 10, 20, "b0")]
+    late = [rec(0, 12, 14, "a2")]  # joins day-0's open fragment, in-window
+    closer = [rec(5, 10, 30, "c0")]  # pushes the watermark past days 0-1
+    all_rows = feed0 + late + closer
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run(wm):
+        stream = (
+            spark.readStream.schema(INPUT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        out = stream_segment(stream, PARAMS, watermark=wm)
+        q = (
+            out.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    for i, rows in enumerate([feed0, late, closer]):
+        spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"feed_{i}")
+        )
+        run("3 days")
+
+    batch = run_batch_pipeline(
+        spark.createDataFrame(all_rows, INPUT_SCHEMA), PARAMS
+    )
+    exp_tagged = {r["msgid"]: r["frag_id"] for r in batch.tagged_records.collect()}
+    got = read_sink(spark, out_dir)
+    got_tagged = {
+        r["msgid"]: r["frag_id"]
+        for r in got.where(F.col("kind") == "tagged").collect()
+    }
+    assert got_tagged == exp_tagged
+    # the late record must have JOINED day-0's open fragment (same frag_id
+    # as a1), not started a fresh one via a reset k-counter
+    assert got_tagged["a2"] == got_tagged["a1"]
+    # closed days' segmap must match batch
+    exp_segmap = {r["frag_id"]: r["seg_id"] for r in batch.segmap.collect()}
+    for r in got.where(F.col("kind") == "segmap").collect():
+        assert exp_segmap[r["frag_id"]] == r["seg_id"]
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Records older than the watermark are dropped by the stateful op
     (reference analog: cross-day late data never rejoins old segments)."""
