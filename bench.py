@@ -33,7 +33,54 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "text_quality",
+    "segment_vessel_daily",  # full downstream SQL job composite
+    "satellite_offsets_full",  # full offsets pipeline composite
 ]
+
+
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Streaming segmenter end-to-end throughput: availableNow drain of the
+    sf-derived stream through applyInPandasWithState into the exactly-once
+    sink. Input materialization is not timed."""
+    import shutil
+    import tempfile
+
+    from pipe_segment_spark.config import DEFAULT_PARAMS
+    from pipe_segment_spark.sources.token_stream import token_stream
+    from pipe_segment_spark.streaming.segmenter_stream import (
+        INPUT_SCHEMA_DDL,
+        stream_segment,
+    )
+    from pipe_segment_spark.streaming.sink import (
+        idempotent_batch_writer,
+        read_sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    src = token_stream(spark, sf_dir)
+    src.coalesce(8).write.mode("overwrite").parquet(in_dir)
+    n_records = spark.read.parquet(in_dir).count()
+
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(INPUT_SCHEMA_DDL)
+        .parquet(in_dir)
+        .transform(lambda df: stream_segment(df, DEFAULT_PARAMS))
+        .writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(900)
+    elapsed = time.perf_counter() - t0
+    out_rows = read_sink(spark, out_dir).count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "streaming_records_per_sec": round(n_records / elapsed, 1),
+        "streaming_wall_sec": round(elapsed, 3),
+        "streaming_output_rows": out_rows,
+    }
 
 
 def _force(df) -> int:
@@ -72,6 +119,7 @@ def main():
         "input_records": n_records,
         "segments_emitted": rows["segmenter_full_segments"],
     }
+    throughput.update(bench_streaming(spark, sf_dir))
 
     print(
         json.dumps(

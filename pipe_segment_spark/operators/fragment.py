@@ -26,7 +26,7 @@ from pipe_segment_spark.operators.kernel import sort_group
 TAGGED_SCHEMA = (
     "doc_id string, source string, timestamp timestamp, tokens array<int>, "
     "n_tok int, msgid string, rec_type string, ident_value string, "
-    "frag_id string"
+    "dest_value string, frag_id string"
 )
 
 INPUT_COLS = [
@@ -38,6 +38,7 @@ INPUT_COLS = [
     "msgid",
     "rec_type",
     "ident_value",
+    "dest_value",
 ]
 
 
@@ -51,7 +52,8 @@ _UDF_COLS = "doc_id timestamp msgid n_tok rec_type source has_payload".split()
 
 NARROW_TAGGED_SCHEMA = (
     "doc_id string, source string, timestamp timestamp, n_tok int, "
-    "msgid string, rec_type string, ident_value string, frag_id string"
+    "msgid string, rec_type string, ident_value string, dest_value string, "
+    "frag_id string"
 )
 
 
@@ -107,6 +109,7 @@ def assign_frag_ids(pdf, params: SegmenterParams):
             "msgid",
             "rec_type",
             "ident_value",
+            "dest_value",
         )
     }
     out["frag_id"] = frag_ids
@@ -130,6 +133,7 @@ def tag_fragments_narrow(
     narrow = df.select(
         *[c for c in _UDF_COLS if c != "has_payload"],
         "ident_value",
+        "dest_value",
         (
             F.col("tokens").isNotNull()
             & (F.size("tokens") > 0)
@@ -173,13 +177,22 @@ def tag_fragments(
     ).select(*INPUT_COLS, "frag_id")
 
 
-def fragments_from_tagged(tagged: DataFrame) -> DataFrame:
+def fragments_from_tagged(
+    tagged: DataFrame, records: DataFrame | None = None
+) -> DataFrame:
     """Pure-Catalyst fragment summaries from tagged records.
 
     Replaces the reference's _fragment_record construction
     (fragment_implementation.py:21-56): first/last boundary payloads via
-    min_by/max_by over POS rows, msg_count = POS row count, counted identity
-    signature via explode + two-level aggregation (map-side partials free).
+    min_by/max_by over POS rows, msg_count = POS row count, counted
+    identity/destination signatures via explode + two-level aggregation
+    (map-side partials free).
+
+    When ``records`` is given, the boundary token payloads
+    (``first_tokens``/``last_tokens``, reference fragment.py:24-72 keeps
+    full first/last messages) are re-attached by joining the records
+    against the fragment boundary-msgid map — 2 rows per fragment, so AQE
+    broadcasts the map side; the segments path never pays this join.
     """
     pos = tagged.where(F.col("frag_id").isNotNull())
     key_cols = [F.col("doc_id"), F.col("frag_id")]
@@ -199,24 +212,57 @@ def fragments_from_tagged(tagged: DataFrame) -> DataFrame:
         F.max_by(
             F.when(is_pos, F.col("n_tok")), F.when(is_pos, ord_key)
         ).alias("last_msg_n_tok"),
+        F.min_by(
+            F.when(is_pos, F.col("msgid")), F.when(is_pos, ord_key)
+        ).alias("first_msgid"),
+        F.max_by(
+            F.when(is_pos, F.col("msgid")), F.when(is_pos, ord_key)
+        ).alias("last_msgid"),
     )
-
-    idents = (
-        pos.where(~is_pos & F.col("ident_value").isNotNull())
-        .groupBy("doc_id", "frag_id", "ident_value")
-        .agg(F.count(F.lit(1)).alias("count"))
-        .groupBy("doc_id", "frag_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("ident_value").alias("value"), F.col("count").alias("count")
-                    )
-                )
-            ).alias("identities")
+    if records is not None:
+        rsel = records.select("doc_id", "msgid", "tokens")
+        first_t = rsel.join(
+            base.select(
+                "doc_id", "frag_id", F.col("first_msgid").alias("msgid")
+            ),
+            ["doc_id", "msgid"],
+        ).select("doc_id", "frag_id", F.col("tokens").alias("first_tokens"))
+        last_t = rsel.join(
+            base.select(
+                "doc_id", "frag_id", F.col("last_msgid").alias("msgid")
+            ),
+            ["doc_id", "msgid"],
+        ).select("doc_id", "frag_id", F.col("tokens").alias("last_tokens"))
+        base = base.join(first_t, ["doc_id", "frag_id"], "left").join(
+            last_t, ["doc_id", "frag_id"], "left"
         )
-    )
 
-    return base.join(idents, ["doc_id", "frag_id"], "left").withColumn(
-        "identities", F.coalesce(F.col("identities"), F.array())
+    def counted_array(value_col: str, out_col: str):
+        """Counted-value signature from attached IDENT rows (reference dual
+        'identities'/'destinations' arrays, transform/fragment.py:24-72)."""
+        return (
+            pos.where(~is_pos & F.col(value_col).isNotNull())
+            .groupBy("doc_id", "frag_id", value_col)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .groupBy("doc_id", "frag_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(value_col).alias("value"),
+                            F.col("count").alias("count"),
+                        )
+                    )
+                ).alias(out_col)
+            )
+        )
+
+    idents = counted_array("ident_value", "identities")
+    dests = counted_array("dest_value", "destinations")
+
+    return (
+        base.join(idents, ["doc_id", "frag_id"], "left")
+        .join(dests, ["doc_id", "frag_id"], "left")
+        .withColumn("identities", F.coalesce(F.col("identities"), F.array()))
+        .withColumn("destinations", F.coalesce(F.col("destinations"), F.array()))
     )

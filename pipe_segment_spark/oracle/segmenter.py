@@ -80,6 +80,7 @@ class _OpenFrag:
     last_tokens: list = field(default_factory=list)
     msg_count: int = 0
     identities: Counter = field(default_factory=Counter)
+    destinations: Counter = field(default_factory=Counter)
     msgids: list = field(default_factory=list)
 
     @property
@@ -135,8 +136,11 @@ def fragment_day(
             continue
         if r.get("rec_type") == "IDENT":
             tgt = best_frag(ts, r["n_tok"])
-            if tgt is not None and r.get("ident_value") is not None:
-                tgt.identities[r["ident_value"]] += 1
+            if tgt is not None:
+                if r.get("ident_value") is not None:
+                    tgt.identities[r["ident_value"]] += 1
+                if r.get("dest_value") is not None:
+                    tgt.destinations[r["dest_value"]] += 1
             tagged.append({**r, "frag_id": tgt.frag_id if tgt else None})
             continue
         tgt = best_frag(ts, r["n_tok"])
@@ -180,6 +184,10 @@ def fragment_day(
                 "last_tokens": f.last_tokens,
                 "identities": sorted(
                     ({"value": v, "count": c} for v, c in f.identities.items()),
+                    key=lambda d: d["value"],
+                ),
+                "destinations": sorted(
+                    ({"value": v, "count": c} for v, c in f.destinations.items()),
                     key=lambda d: d["value"],
                 ),
             }
@@ -307,6 +315,7 @@ def create_segments(frags_with_seg: list[dict]) -> list[dict]:
         first_timestamp = frags[0]["first_msg_timestamp"]
         cum_msgs = 0
         cum_idents: Counter = Counter()
+        cum_dests: Counter = Counter()
         by_day: dict = {}
         for f in frags:
             by_day.setdefault(f["timestamp"].date(), []).append(f)
@@ -314,13 +323,24 @@ def create_segments(frags_with_seg: list[dict]) -> list[dict]:
             daily = by_day[day]
             daily_msgs = 0
             daily_idents: Counter = Counter()
+            daily_dests: Counter = Counter()
             for x in daily:
                 daily_msgs += x["msg_count"]
                 cum_msgs += x["msg_count"]
                 for ident in x.get("identities", []):
                     daily_idents[ident["value"]] += ident["count"]
                     cum_idents[ident["value"]] += ident["count"]
+                for dest in x.get("destinations", []):
+                    daily_dests[dest["value"]] += dest["count"]
+                    cum_dests[dest["value"]] += dest["count"]
             last = daily[-1]
+
+            def _sorted(c):
+                return sorted(
+                    ({"value": v, "count": n} for v, n in c.items()),
+                    key=lambda d: d["value"],
+                )
+
             out.append(
                 {
                     "seg_id": seg_id,
@@ -330,14 +350,10 @@ def create_segments(frags_with_seg: list[dict]) -> list[dict]:
                     "first_timestamp": first_timestamp,
                     "daily_msg_count": daily_msgs,
                     "cumulative_msg_count": cum_msgs,
-                    "daily_identities": sorted(
-                        ({"value": v, "count": c} for v, c in daily_idents.items()),
-                        key=lambda d: d["value"],
-                    ),
-                    "cumulative_identities": sorted(
-                        ({"value": v, "count": c} for v, c in cum_idents.items()),
-                        key=lambda d: d["value"],
-                    ),
+                    "daily_identities": _sorted(daily_idents),
+                    "cumulative_identities": _sorted(cum_idents),
+                    "daily_destinations": _sorted(daily_dests),
+                    "cumulative_destinations": _sorted(cum_dests),
                 }
             )
     return out

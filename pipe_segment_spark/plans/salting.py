@@ -52,6 +52,7 @@ def tag_fragments_salted(
     narrow = df.select(
         *[c for c in _UDF_COLS if c != "has_payload"],
         "ident_value",
+        "dest_value",
         (
             F.col("tokens").isNotNull()
             & (F.size("tokens") > 0)

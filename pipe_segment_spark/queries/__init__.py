@@ -9,8 +9,10 @@ ops: the full multi-open greedy segmenter, streaming, multimodal stubs).
 from __future__ import annotations
 
 from pipe_segment_spark.queries import (
+    composite_q,
     corpus_q,
     engine_q,
+    identity_q,
     relational_q,
     scalars_q,
     segmenter_q,
@@ -19,7 +21,16 @@ from pipe_segment_spark.queries import (
 
 QUERIES = {}
 ORACLES = {}
-for mod in (segmenter_q, relational_q, corpus_q, engine_q, windows_q, scalars_q):
+for mod in (
+    segmenter_q,
+    relational_q,
+    corpus_q,
+    engine_q,
+    windows_q,
+    scalars_q,
+    identity_q,
+    composite_q,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -71,15 +71,27 @@ WINDOW w AS (PARTITION BY dup_key)
 """
 
 
+MAX_SHINGLE_DF = 16  # shingles in more docs than this are boilerplate
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram shingle Jaccard >= 0.5 (shingle explode +
-    self-equi-join on shingle + count ratio)."""
-    sh = (
+    self-equi-join on shingle + count ratio).
+
+    Scale guard: shingles with document frequency > MAX_SHINGLE_DF are
+    dropped BEFORE the self-join (one window count, no extra join) — a
+    boilerplate shingle shared by k docs would otherwise emit k^2 join rows
+    (the r01 scale-killer). Jaccard is computed over the surviving
+    informative shingles; the DuckDB oracle applies the identical cap."""
+    sh_all = (
         _docs(spark, sf_dir)
         .withColumn("w", F.expr(WORDS_EXPR))
         .select("doc_id", F.explode(F.expr(SHINGLES_OF_W)).alias("sh"))
         .distinct()
     )
+    sh = sh_all.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).where(F.col("df") <= MAX_SHINGLE_DF).drop("df")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -107,9 +119,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_DEDUP_NGRAM_JACCARD = f"""
-WITH sh AS (
+WITH sh_all AS (
     SELECT DISTINCT doc_id, sh
     FROM (SELECT doc_id, unnest({D_SHINGLES}) AS sh FROM documents)
+),
+sh AS (
+    SELECT doc_id, sh FROM (
+        SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM sh_all
+    ) WHERE df <= {MAX_SHINGLE_DF}
 ),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 inter AS (

@@ -82,10 +82,11 @@ def full_segmenter_ctes(p: SegmenterParams = DEFAULT_PARAMS) -> str:
                                    "sg.last_us", "sg.last_nt", p)
     return f"""
 {TOKEN_STREAM_CTE},
-recs AS (
+recs AS MATERIALIZED (
     SELECT doc_id,
            CAST(timestamp AS DATE)          AS day,
-           timestamp, msgid, source, rec_type, ident_value, n_tok, tokens,
+           timestamp, msgid, source, rec_type, ident_value, dest_value,
+           n_tok, tokens,
            epoch_us(timestamp)              AS t_us,
            CAST(n_tok AS DOUBLE)            AS nt,
            (tokens IS NULL OR len(tokens) = 0 OR n_tok IS NULL) AS noise,
@@ -170,28 +171,32 @@ fstep AS (
         ) x
     )
 ),
-tagged_f AS (
+tagged_f AS MATERIALIZED (
     SELECT r.doc_id, r.day, r.timestamp, r.msgid, r.source, r.rec_type,
-           r.ident_value, r.n_tok, r.tokens, r.nt, r.t_us, r.is_ident,
-           f.fid AS frag_id
+           r.ident_value, r.dest_value, r.n_tok, r.tokens, r.nt, r.t_us,
+           r.is_ident, f.fid AS frag_id
     FROM recs r
     JOIN fstep f ON f.doc_id = r.doc_id AND f.day = r.day AND f.rn = r.rn
 ),
 -- fragment summaries over POS rows (operators/fragment.py:fragments_from_tagged)
-fr_ord AS (
+fr_ord AS MATERIALIZED (
     SELECT *,
-           first_value(t_us) OVER w  AS f_us,
-           last_value(t_us) OVER w   AS l_us,
-           first_value(nt) OVER w    AS f_nt,
-           last_value(nt) OVER w     AS l_nt,
-           first_value(n_tok) OVER w AS f_ntok,
-           last_value(n_tok) OVER w  AS l_ntok
+           first_value(t_us) OVER w   AS f_us,
+           last_value(t_us) OVER w    AS l_us,
+           first_value(nt) OVER w     AS f_nt,
+           last_value(nt) OVER w      AS l_nt,
+           first_value(n_tok) OVER w  AS f_ntok,
+           last_value(n_tok) OVER w   AS l_ntok,
+           first_value(msgid) OVER w  AS f_msgid,
+           last_value(msgid) OVER w   AS l_msgid,
+           first_value(tokens) OVER w AS f_tokens,
+           last_value(tokens) OVER w  AS l_tokens
     FROM tagged_f
     WHERE frag_id IS NOT NULL AND NOT is_ident
     WINDOW w AS (PARTITION BY doc_id, frag_id ORDER BY timestamp, msgid
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ),
-frags AS (
+frags AS MATERIALIZED (
     SELECT doc_id, frag_id, day AS date,
            CAST(count(*) AS BIGINT)  AS msg_count,
            min(timestamp)            AS first_msg_timestamp,
@@ -201,11 +206,15 @@ frags AS (
            min(f_nt)                 AS first_nt,
            min(l_nt)                 AS last_nt,
            min(f_ntok)               AS first_msg_n_tok,
-           min(l_ntok)               AS last_msg_n_tok
+           min(l_ntok)               AS last_msg_n_tok,
+           min(f_msgid)              AS first_msgid,
+           min(l_msgid)              AS last_msgid,
+           min(f_tokens)             AS first_tokens,
+           min(l_tokens)             AS last_tokens
     FROM fr_ord
     GROUP BY doc_id, frag_id, day
 ),
-days AS (
+days AS MATERIALIZED (
     SELECT doc_id, date,
            row_number() OVER (PARTITION BY doc_id ORDER BY date) AS day_idx,
            list({{'fid': frag_id, 'first_us': first_us, 'first_nt': first_nt,
@@ -269,21 +278,29 @@ gstep AS (
         WHERE v.best IS NOT NULL OR v.next_date IS NOT NULL OR len(v.pend) > 0
     ) q
 ),
-segmap AS (
+segmap AS MATERIALIZED (
     SELECT doc_id, e.sid AS seg_id, e.fid AS frag_id, e.dt AS date
     FROM (SELECT doc_id, unnest(emit) AS e FROM gstep)
 ),
-frags_seg AS (
+frags_seg AS MATERIALIZED (
     SELECT f.*, m.seg_id
     FROM frags f JOIN segmap m ON f.doc_id = m.doc_id AND f.frag_id = m.frag_id
 ),
--- per-fragment counted identity signature (IDENT rows attached by the kernel)
-frag_idents AS (
+-- per-fragment counted signatures (IDENT rows attached by the kernel);
+-- dual arrays per reference transform/fragment.py:24-72
+frag_idents AS MATERIALIZED (
     SELECT doc_id, frag_id, ident_value AS value,
            CAST(count(*) AS BIGINT) AS cnt
     FROM tagged_f
     WHERE frag_id IS NOT NULL AND is_ident AND ident_value IS NOT NULL
     GROUP BY doc_id, frag_id, ident_value
+),
+frag_dests AS MATERIALIZED (
+    SELECT doc_id, frag_id, dest_value AS value,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM tagged_f
+    WHERE frag_id IS NOT NULL AND is_ident AND dest_value IS NOT NULL
+    GROUP BY doc_id, frag_id, dest_value
 )
 """
 
@@ -310,7 +327,7 @@ seg_cum AS (
     FROM seg_daily
     WINDOW wcum AS (PARTITION BY seg_id ORDER BY date ROWS UNBOUNDED PRECEDING)
 ),
-daily_arr AS (
+daily_arr_i AS (
     SELECT f.seg_id, f.date,
            string_agg(i.value || ':' || CAST(i.cnt AS VARCHAR), ';'
                       ORDER BY i.value) AS s
@@ -318,27 +335,82 @@ daily_arr AS (
     JOIN frag_idents i ON i.doc_id = f.doc_id AND i.frag_id = f.frag_id
     GROUP BY f.seg_id, f.date
 ),
-cum_arr AS (
-    SELECT d.seg_id, d.date, x.value,
-           CAST(sum(x.cnt) AS BIGINT) AS cnt
-    FROM seg_daily d
-    JOIN frags_seg f2 ON f2.seg_id = d.seg_id AND f2.date <= d.date
-    JOIN frag_idents x ON x.doc_id = f2.doc_id AND x.frag_id = f2.frag_id
-    GROUP BY d.seg_id, d.date, x.value
-),
-cum_arr_s AS (
+cum_arr_i AS (
     SELECT seg_id, date,
            string_agg(value || ':' || CAST(cnt AS VARCHAR), ';'
                       ORDER BY value) AS s
-    FROM cum_arr GROUP BY seg_id, date
+    FROM (
+        SELECT d.seg_id, d.date, x.value, CAST(sum(x.cnt) AS BIGINT) AS cnt
+        FROM seg_daily d
+        JOIN frags_seg f2 ON f2.seg_id = d.seg_id AND f2.date <= d.date
+        JOIN frag_idents x ON x.doc_id = f2.doc_id AND x.frag_id = f2.frag_id
+        GROUP BY d.seg_id, d.date, x.value
+    ) GROUP BY seg_id, date
+),
+daily_arr_d AS (
+    SELECT f.seg_id, f.date,
+           string_agg(i.value || ':' || CAST(i.cnt AS VARCHAR), ';'
+                      ORDER BY i.value) AS s
+    FROM frags_seg f
+    JOIN frag_dests i ON i.doc_id = f.doc_id AND i.frag_id = f.frag_id
+    GROUP BY f.seg_id, f.date
+),
+cum_arr_d AS (
+    SELECT seg_id, date,
+           string_agg(value || ':' || CAST(cnt AS VARCHAR), ';'
+                      ORDER BY value) AS s
+    FROM (
+        SELECT d.seg_id, d.date, x.value, CAST(sum(x.cnt) AS BIGINT) AS cnt
+        FROM seg_daily d
+        JOIN frags_seg f2 ON f2.seg_id = d.seg_id AND f2.date <= d.date
+        JOIN frag_dests x ON x.doc_id = f2.doc_id AND x.frag_id = f2.frag_id
+        GROUP BY d.seg_id, d.date, x.value
+    ) GROUP BY seg_id, date
 )
 SELECT c.seg_id, c.frag_id, c.doc_id, c.timestamp, c.first_timestamp,
        c.daily_msg_count, c.cumulative_msg_count,
-       coalesce(da.s, '') AS daily_identities_s,
-       coalesce(ca.s, '') AS cumulative_identities_s
+       coalesce(dai.s, '') AS daily_identities_s,
+       coalesce(cai.s, '') AS cumulative_identities_s,
+       coalesce(dad.s, '') AS daily_destinations_s,
+       coalesce(cad.s, '') AS cumulative_destinations_s
 FROM seg_cum c
-LEFT JOIN daily_arr da ON da.seg_id = c.seg_id AND da.date = c.date
-LEFT JOIN cum_arr_s ca ON ca.seg_id = c.seg_id AND ca.date = c.date
+LEFT JOIN daily_arr_i dai ON dai.seg_id = c.seg_id AND dai.date = c.date
+LEFT JOIN cum_arr_i cai ON cai.seg_id = c.seg_id AND cai.date = c.date
+LEFT JOIN daily_arr_d dad ON dad.seg_id = c.seg_id AND dad.date = c.date
+LEFT JOIN cum_arr_d cad ON cad.seg_id = c.seg_id AND cad.date = c.date
+"""
+
+
+def oracle_full_fragments(p: SegmenterParams = DEFAULT_PARAMS) -> str:
+    """Full-engine fragment summaries incl. boundary msgids + token payloads
+    and both counted arrays (reference fragment checkpoint format,
+    transform/fragment.py:24-72)."""
+    return f"""
+WITH RECURSIVE {full_segmenter_ctes(p)},
+iarr AS (
+    SELECT doc_id, frag_id,
+           string_agg(value || ':' || CAST(cnt AS VARCHAR), ';'
+                      ORDER BY value) AS s
+    FROM frag_idents GROUP BY doc_id, frag_id
+),
+darr AS (
+    SELECT doc_id, frag_id,
+           string_agg(value || ':' || CAST(cnt AS VARCHAR), ';'
+                      ORDER BY value) AS s
+    FROM frag_dests GROUP BY doc_id, frag_id
+)
+SELECT f.doc_id, f.frag_id,
+       CAST(f.date AS TIMESTAMP) AS timestamp,
+       f.msg_count, f.first_msg_timestamp, f.last_msg_timestamp,
+       f.first_msg_n_tok, f.last_msg_n_tok,
+       f.first_msgid, f.last_msgid,
+       array_to_string(f.first_tokens, ',') AS first_tokens_s,
+       array_to_string(f.last_tokens, ',')  AS last_tokens_s,
+       coalesce(i.s, '') AS identities_s,
+       coalesce(d.s, '') AS destinations_s
+FROM frags f
+LEFT JOIN iarr i ON i.doc_id = f.doc_id AND i.frag_id = f.frag_id
+LEFT JOIN darr d ON d.doc_id = f.doc_id AND d.frag_id = f.frag_id
 """
 
 

@@ -41,6 +41,41 @@ def q_segmenter_full_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cumulative_msg_count",
         _ident_str("daily_identities").alias("daily_identities_s"),
         _ident_str("cumulative_identities").alias("cumulative_identities_s"),
+        _ident_str("daily_destinations").alias("daily_destinations_s"),
+        _ident_str("cumulative_destinations").alias(
+            "cumulative_destinations_s"
+        ),
+    )
+
+
+def q_segmenter_full_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-engine fragment summaries with boundary msgids/token payloads
+    (records re-attached via the boundary-msgid map join) and both counted
+    arrays — the reference's fragment checkpoint format."""
+    from pipe_segment_spark.operators.fragment import (
+        fragments_from_tagged,
+        tag_fragments_narrow,
+    )
+
+    records = token_stream(spark, sf_dir)
+    frags = fragments_from_tagged(
+        tag_fragments_narrow(records, DEFAULT_PARAMS), records=records
+    )
+    return frags.select(
+        "doc_id",
+        "frag_id",
+        "timestamp",
+        "msg_count",
+        "first_msg_timestamp",
+        "last_msg_timestamp",
+        "first_msg_n_tok",
+        "last_msg_n_tok",
+        "first_msgid",
+        "last_msgid",
+        F.array_join("first_tokens", ",").alias("first_tokens_s"),
+        F.array_join("last_tokens", ",").alias("last_tokens_s"),
+        _ident_str("identities").alias("identities_s"),
+        _ident_str("destinations").alias("destinations_s"),
     )
 
 
@@ -105,12 +140,14 @@ def q_segmenter_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "segmenter_full_segments": q_segmenter_full_segments,
+    "segmenter_full_fragments": q_segmenter_full_fragments,
     "segmenter_full_tagged": q_segmenter_full_tagged,
     "segmenter_streaming": q_segmenter_streaming,
     "multimodal_features": q_multimodal_features,
 }
 
 from pipe_segment_spark.queries.engine_oracle import (  # noqa: E402
+    oracle_full_fragments,
     oracle_full_segments,
     oracle_full_tagged,
     oracle_streaming,
@@ -121,6 +158,7 @@ from pipe_segment_spark.queries.multimodal_oracle import (  # noqa: E402
 
 ORACLES: dict[str, str] = {
     "segmenter_full_segments": oracle_full_segments(DEFAULT_PARAMS),
+    "segmenter_full_fragments": oracle_full_fragments(DEFAULT_PARAMS),
     "segmenter_full_tagged": oracle_full_tagged(DEFAULT_PARAMS),
     "segmenter_streaming": oracle_streaming(DEFAULT_PARAMS),
     "multimodal_features": ORACLE_MULTIMODAL,

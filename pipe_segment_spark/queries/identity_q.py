@@ -1,0 +1,659 @@
+"""Identity-pipeline composites: the reference's downstream SQL jobs
+recast END-TO-END over the tokenized schema (VERDICT r01 asks #3 and #7).
+
+- ``segment_identity_daily``: per-(seg_id, day) identity summaries with the
+  reference's 8 counted-value arrays, normalized fields and
+  msg_count = pos + ident (segment_identity/transforms.py:23-106,
+  pipeline.py:344-362).
+- ``segment_vessel_daily``: the full multi-CTE job
+  (assets/segment_vessel_daily.sql.j2:41-159) — window aggregation,
+  mostCommon + minFreqFilter per field, spoofing/overlap detection (LEAD +
+  COUNTIF), single-identity ssvid detection (LEAST of IFNULLed freqs),
+  anti-join, vessel_id GUID assignment with IFNULL fallback — composed as
+  ONE query on both engines.
+
+Identity fields are derived deterministically from the record's event id
+(msgid = 'm' || event_id), the same recast trick token_stream uses, so both
+engines compute identical values with no external data:
+
+    shipname   = ident_value                                 (always present)
+    callsign   = 'CS-' || ev % 7                             (ev % 5 != 1)
+    imo        = CAST(1000000 + ev % 9000000 AS STRING)      (ev % 4 != 0)
+    n_shipname = upper-strip-alnum(shipname)    n_callsign = same(callsign)
+    n_imo      = lpad(imo, 8, '0')
+    length     = CAST(10 + ev % 40 AS STRING)                (ev % 2 == 0)
+    width      = CAST(3  + ev % 12 AS STRING)                (ev % 3 == 0)
+
+The presence-modulo rules stand in for the reference's normalizability
+filters (shipdataprocess normalize_* / stdnum IMO validation): an absent
+value is one the filter dropped. The DuckDB oracle replays the full greedy
+segmenter via the recursive CTEs in engine_oracle.py, then the identical
+relational composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipe_segment_spark.config import DEFAULT_PARAMS
+from pipe_segment_spark.pipeline import run_batch_pipeline
+from pipe_segment_spark.queries.engine_oracle import full_segmenter_ctes
+from pipe_segment_spark.sources.token_stream import token_stream
+
+FIELDS = [
+    "shipname",
+    "callsign",
+    "imo",
+    "n_shipname",
+    "n_callsign",
+    "n_imo",
+    "length",
+    "width",
+]
+
+MOST_COMMON_MIN_FREQ = 0.05
+SINGLE_IDENT_MIN_FREQ = 0.5
+SPOOFING_THRESHOLD = 1
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def _norm(col):
+    return F.regexp_replace(F.upper(col), "[^A-Z0-9]", "")
+
+
+def _ident_field_rows(tagged: DataFrame) -> DataFrame:
+    """IDENT records attached to a fragment -> long-format
+    (doc_id, seg_id, date, field, value) rows, value NULL when the
+    presence filter drops it."""
+    ev = F.substring("msgid", 2, 100).cast("long")
+    shipname = F.col("ident_value")
+    callsign = F.when(
+        ev % 5 != 1, F.concat(F.lit("CS-"), (ev % 7).cast("string"))
+    )
+    imo = F.when(ev % 4 != 0, (F.lit(1000000) + ev % 9000000).cast("string"))
+    length = F.when(ev % 2 == 0, (F.lit(10) + ev % 40).cast("string"))
+    width = F.when(ev % 3 == 0, (F.lit(3) + ev % 12).cast("string"))
+    exprs = {
+        "shipname": shipname,
+        "callsign": callsign,
+        "imo": imo,
+        "n_shipname": _norm(shipname),
+        "n_callsign": _norm(callsign),
+        "n_imo": F.lpad(imo, 8, "0"),
+        "length": length,
+        "width": width,
+    }
+    fv = F.array(
+        *[
+            F.struct(F.lit(f).alias("field"), exprs[f].alias("value"))
+            for f in FIELDS
+        ]
+    )
+    base = tagged.where(
+        (F.col("rec_type") == "IDENT")
+        & F.col("ident_value").isNotNull()
+        & F.col("frag_id").isNotNull()
+    ).select(
+        "doc_id",
+        "seg_id",
+        F.to_date("timestamp").alias("date"),
+        F.explode(fv).alias("fv"),
+    )
+    return base.select(
+        "doc_id", "seg_id", "date", "fv.field", "fv.value"
+    ).where(F.col("value").isNotNull())
+
+
+def _ident_base(tagged: DataFrame) -> DataFrame:
+    """Attached IDENT records (one row each) for ident_count."""
+    return tagged.where(
+        (F.col("rec_type") == "IDENT")
+        & F.col("ident_value").isNotNull()
+        & F.col("frag_id").isNotNull()
+    ).select("doc_id", "seg_id", F.to_date("timestamp").alias("date"))
+
+
+def _seg_days(fragments_with_seg: DataFrame) -> DataFrame:
+    """Per-(seg_id, day) POS stats — one fragment per (seg, day) by
+    construction of the matcher."""
+    return fragments_with_seg.select(
+        "seg_id",
+        "doc_id",
+        F.to_date("timestamp").alias("date"),
+        F.col("timestamp").alias("summary_timestamp"),
+        F.col("first_msg_timestamp").alias("first_pos_timestamp"),
+        F.col("last_msg_timestamp").alias("last_pos_timestamp"),
+        F.col("msg_count").alias("pos_count"),
+    )
+
+
+def _ser_field(field: str):
+    """counts rows -> 'value:count;...' sorted by value, '' when empty."""
+    return F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("field") == field,
+                        F.struct(F.col("value"), F.col("cnt")),
+                    )
+                )
+            ),
+            lambda s: F.concat_ws(":", s.value, s.cnt),
+        ),
+        ";",
+    ).alias(f"{field}_s")
+
+
+def q_segment_identity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_batch_pipeline(token_stream(spark, sf_dir), DEFAULT_PARAMS)
+    tagged = out.tagged_records
+    counts = (
+        _ident_field_rows(tagged)
+        .groupBy("doc_id", "seg_id", "date", "field", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    arrs = counts.groupBy("doc_id", "seg_id", "date").agg(
+        *[_ser_field(f) for f in FIELDS]
+    )
+    icounts = (
+        _ident_base(tagged)
+        .groupBy("doc_id", "seg_id", "date")
+        .agg(F.count(F.lit(1)).alias("ident_count"))
+    )
+    segday = _seg_days(out.fragments)
+    return (
+        segday.join(arrs, ["doc_id", "seg_id", "date"], "left")
+        .join(icounts, ["doc_id", "seg_id", "date"], "left")
+        .select(
+            "seg_id",
+            "doc_id",
+            "date",
+            "summary_timestamp",
+            "first_pos_timestamp",
+            "last_pos_timestamp",
+            "pos_count",
+            F.coalesce("ident_count", F.lit(0)).cast("long").alias("ident_count"),
+            (
+                F.col("pos_count") + F.coalesce("ident_count", F.lit(0))
+            ).cast("long").alias("msg_count"),
+            *[
+                F.coalesce(f"{f}_s", F.lit("")).alias(f"{f}_s")
+                for f in FIELDS
+            ],
+        )
+    )
+
+
+def _guid(ssvid, imo, shipname, callsign):
+    """vessel_id GUID (assets/util.sql.j2:45-67 recast): md5 of the identity
+    tuple, formatted 8-4-4-4-12; IMO dominates when present."""
+    payload = F.when(
+        imo.isNotNull(), F.concat_ws("|", F.lit("AIS"), ssvid, imo, F.lit(""), F.lit(""))
+    ).otherwise(
+        F.concat_ws(
+            "|",
+            F.lit("AIS"),
+            ssvid,
+            F.lit(""),
+            F.coalesce(shipname, F.lit("")),
+            F.coalesce(callsign, F.lit("")),
+        )
+    )
+    h = F.md5(payload)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def q_segment_vessel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_batch_pipeline(token_stream(spark, sf_dir), DEFAULT_PARAMS)
+    tagged = out.tagged_records
+    segday = _seg_days(out.fragments)
+    frows = _ident_field_rows(tagged)
+    ibase = _ident_base(tagged)
+
+    # --- window aggregation per segment (window = whole dataset) ---
+    last_day = segday.agg(F.max("date").alias("last_day"))
+    seg_scalars = (
+        segday.groupBy("doc_id", "seg_id")
+        .agg(
+            F.max("date").alias("day"),
+            F.min("first_pos_timestamp").alias("first_pos_timestamp"),
+            F.max("last_pos_timestamp").alias("last_pos_timestamp"),
+            F.sum("pos_count").alias("pos_count"),
+        )
+        .crossJoin(F.broadcast(last_day))
+        .where(F.col("day") == F.col("last_day"))
+        .drop("last_day")
+    )
+    seg_icount = ibase.groupBy("doc_id", "seg_id").agg(
+        F.count(F.lit(1)).alias("ident_count")
+    )
+
+    # --- mostCommon + minFreqFilter per (seg, field) ---
+    seg_field_counts = frows.groupBy("doc_id", "seg_id", "field", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_top = Window.partitionBy("seg_id", "field").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    w_tot = Window.partitionBy("seg_id", "field")
+    seg_top = (
+        seg_field_counts.withColumn("rn", F.row_number().over(w_top))
+        .withColumn(
+            "freq", F.col("cnt") / F.sum("cnt").over(w_tot).cast("double")
+        )
+        .where(F.col("rn") == 1)
+        .join(seg_icount, ["doc_id", "seg_id"], "left")
+        .withColumn(
+            "keep",
+            F.col("cnt") / F.col("ident_count").cast("double")
+            > MOST_COMMON_MIN_FREQ,
+        )
+    )
+    smc = seg_top.groupBy("doc_id", "seg_id").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("field") == f) & F.col("keep"), F.col("value")
+                )
+            ).alias(f"{f}_v")
+            for f in FIELDS
+        ],
+        *[
+            F.round(
+                F.max(
+                    F.when(
+                        (F.col("field") == f) & F.col("keep"), F.col("freq")
+                    )
+                ),
+                6,
+            ).alias(f"{f}_f")
+            for f in FIELDS
+        ],
+    )
+
+    # --- ssvid-level mostCommon of the normalized fields ---
+    doc_icount = ibase.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("d_ident_count")
+    )
+    doc_field_counts = (
+        frows.where(F.col("field").isin("n_shipname", "n_callsign", "n_imo"))
+        .groupBy("doc_id", "field", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_dtop = Window.partitionBy("doc_id", "field").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    w_dtot = Window.partitionBy("doc_id", "field")
+    doc_top = (
+        doc_field_counts.withColumn("rn", F.row_number().over(w_dtop))
+        .withColumn(
+            "freq", F.col("cnt") / F.sum("cnt").over(w_dtot).cast("double")
+        )
+        .where(F.col("rn") == 1)
+        .join(doc_icount, "doc_id")
+        .withColumn(
+            "keep",
+            F.col("cnt") / F.col("d_ident_count").cast("double")
+            > MOST_COMMON_MIN_FREQ,
+        )
+    )
+    dmc = doc_top.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when((F.col("field") == f) & F.col("keep"), F.col("value"))
+            ).alias(f"{f}_v")
+            for f in ("n_shipname", "n_callsign", "n_imo")
+        ],
+        *[
+            F.max(
+                F.when((F.col("field") == f) & F.col("keep"), F.col("freq"))
+            ).alias(f"{f}_f")
+            for f in ("n_shipname", "n_callsign", "n_imo")
+        ],
+    )
+
+    # --- overlap detection over non-noise segment-days ---
+    good = segday.where(F.col("pos_count") > SPOOFING_THRESHOLD)
+    w_lead = Window.partitionBy("doc_id").orderBy(
+        "first_pos_timestamp", "seg_id"
+    )
+    overlap_docs = (
+        good.withColumn(
+            "next_start", F.lead("first_pos_timestamp").over(w_lead)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("last_pos_timestamp") > F.col("next_start"), 1
+                ).otherwise(0)
+            ).alias("overlap_count")
+        )
+        .where(F.col("overlap_count") > 0)
+        .select("doc_id")
+    )
+
+    # --- single-identity ssvids (LEAST of IFNULLed freqs) -> ssvid GUID ---
+    single = dmc.where(
+        F.least(
+            F.coalesce("n_shipname_f", F.lit(1.0)),
+            F.coalesce("n_callsign_f", F.lit(1.0)),
+            F.coalesce("n_imo_f", F.lit(1.0)),
+        )
+        > SINGLE_IDENT_MIN_FREQ
+    ).select(
+        "doc_id",
+        _guid(
+            F.col("doc_id"),
+            F.col("n_imo_v"),
+            F.col("n_shipname_v"),
+            F.col("n_callsign_v"),
+        ).alias("ssvid_vessel_id"),
+    )
+    no_overlap_single = single.join(
+        F.broadcast(overlap_docs), "doc_id", "left_anti"
+    )
+
+    # --- final assembly: IFNULL(ssvid guid, per-segment guid) ---
+    base = (
+        seg_scalars.join(seg_icount, ["doc_id", "seg_id"], "left")
+        .join(smc, ["doc_id", "seg_id"], "left")
+        .join(F.broadcast(no_overlap_single), "doc_id", "left")
+    )
+    return base.select(
+        F.coalesce(
+            "ssvid_vessel_id",
+            _guid(
+                F.col("doc_id"),
+                F.col("n_imo_v"),
+                F.col("n_shipname_v"),
+                F.col("n_callsign_v"),
+            ),
+        ).alias("vessel_id"),
+        F.col("ssvid_vessel_id").isNotNull().alias("single_ident"),
+        "seg_id",
+        "doc_id",
+        "day",
+        "first_pos_timestamp",
+        "last_pos_timestamp",
+        "pos_count",
+        F.coalesce("ident_count", F.lit(0)).cast("long").alias("ident_count"),
+        (F.col("pos_count") + F.coalesce("ident_count", F.lit(0)))
+        .cast("long")
+        .alias("msg_count"),
+        *[F.col(f"{f}_v") for f in FIELDS],
+        *[F.col(f"{f}_f") for f in FIELDS],
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (extend the recursive full-segmenter CTEs)
+# ---------------------------------------------------------------------------
+
+_IDENT_CTES = f"""
+ident_rows AS MATERIALIZED (
+    SELECT t.doc_id, m.seg_id, t.day AS date,
+           CAST(substr(t.msgid, 2) AS BIGINT) AS ev,
+           t.ident_value
+    FROM tagged_f t
+    JOIN segmap m ON m.doc_id = t.doc_id AND m.frag_id = t.frag_id
+    WHERE t.is_ident AND t.ident_value IS NOT NULL
+),
+field_raw AS MATERIALIZED (
+    SELECT doc_id, seg_id, date, ev,
+           ident_value AS shipname,
+           CASE WHEN ev % 5 <> 1
+                THEN 'CS-' || CAST(ev % 7 AS VARCHAR) END AS callsign,
+           CASE WHEN ev % 4 <> 0
+                THEN CAST(1000000 + ev % 9000000 AS VARCHAR) END AS imo,
+           CASE WHEN ev % 2 = 0
+                THEN CAST(10 + ev % 40 AS VARCHAR) END AS length,
+           CASE WHEN ev % 3 = 0
+                THEN CAST(3 + ev % 12 AS VARCHAR) END AS width
+    FROM ident_rows
+),
+fieldvals AS MATERIALIZED (
+    SELECT doc_id, seg_id, date, field, value FROM (
+        SELECT doc_id, seg_id, date, 'shipname' AS field, shipname AS value
+        FROM field_raw
+        UNION ALL
+        SELECT doc_id, seg_id, date, 'callsign', callsign FROM field_raw
+        UNION ALL
+        SELECT doc_id, seg_id, date, 'imo', imo FROM field_raw
+        UNION ALL
+        SELECT doc_id, seg_id, date, 'n_shipname',
+               regexp_replace(upper(shipname), '[^A-Z0-9]', '', 'g')
+        FROM field_raw
+        UNION ALL
+        SELECT doc_id, seg_id, date, 'n_callsign',
+               regexp_replace(upper(callsign), '[^A-Z0-9]', '', 'g')
+        FROM field_raw
+        UNION ALL
+        SELECT doc_id, seg_id, date, 'n_imo', lpad(imo, 8, '0') FROM field_raw
+        UNION ALL
+        SELECT doc_id, seg_id, date, 'length', length FROM field_raw
+        UNION ALL
+        SELECT doc_id, seg_id, date, 'width', width FROM field_raw
+    ) WHERE value IS NOT NULL
+),
+segday AS MATERIALIZED (
+    SELECT seg_id, doc_id, date,
+           CAST(date AS TIMESTAMP)  AS summary_timestamp,
+           first_msg_timestamp      AS first_pos_timestamp,
+           last_msg_timestamp       AS last_pos_timestamp,
+           msg_count                AS pos_count
+    FROM frags_seg
+)
+"""
+
+
+def _o_ser(field: str) -> str:
+    return (
+        f"coalesce(string_agg(value || ':' || CAST(cnt AS VARCHAR), ';' "
+        f"ORDER BY value) FILTER (WHERE field = '{field}'), '') AS {field}_s"
+    )
+
+
+def _oracle_identity_daily() -> str:
+    sers = ",\n           ".join(_o_ser(f) for f in FIELDS)
+    return f"""
+WITH RECURSIVE {full_segmenter_ctes(DEFAULT_PARAMS)},
+{_IDENT_CTES.strip().rstrip()},
+counts AS (
+    SELECT doc_id, seg_id, date, field, value,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM fieldvals GROUP BY doc_id, seg_id, date, field, value
+),
+arrs AS (
+    SELECT doc_id, seg_id, date,
+           {sers}
+    FROM counts GROUP BY doc_id, seg_id, date
+),
+icounts AS (
+    SELECT doc_id, seg_id, date, CAST(count(*) AS BIGINT) AS ident_count
+    FROM ident_rows GROUP BY doc_id, seg_id, date
+)
+SELECT s.seg_id, s.doc_id, s.date, s.summary_timestamp,
+       s.first_pos_timestamp, s.last_pos_timestamp, s.pos_count,
+       CAST(coalesce(i.ident_count, 0) AS BIGINT) AS ident_count,
+       CAST(s.pos_count + coalesce(i.ident_count, 0) AS BIGINT) AS msg_count,
+       {", ".join(f"coalesce(a.{f}_s, '') AS {f}_s" for f in FIELDS)}
+FROM segday s
+LEFT JOIN arrs a ON a.doc_id = s.doc_id AND a.seg_id = s.seg_id
+                AND a.date = s.date
+LEFT JOIN icounts i ON i.doc_id = s.doc_id AND i.seg_id = s.seg_id
+                   AND i.date = s.date
+"""
+
+
+def _o_guid(ssvid: str, imo: str, shipname: str, callsign: str) -> str:
+    payload = (
+        f"CASE WHEN {imo} IS NOT NULL "
+        f"THEN 'AIS|' || {ssvid} || '|' || {imo} || '||' "
+        f"ELSE 'AIS|' || {ssvid} || '||' || coalesce({shipname}, '') || '|' "
+        f"     || coalesce({callsign}, '') END"
+    )
+    h = f"md5({payload})"
+    return (
+        f"(substr({h}, 1, 8) || '-' || substr({h}, 9, 4) || '-' || "
+        f"substr({h}, 13, 4) || '-' || substr({h}, 17, 4) || '-' || "
+        f"substr({h}, 21, 12))"
+    )
+
+
+def _oracle_vessel_daily() -> str:
+    seg_v = ",\n           ".join(
+        f"max(CASE WHEN field = '{f}' AND keep THEN value END) AS {f}_v"
+        for f in FIELDS
+    )
+    seg_f = ",\n           ".join(
+        f"round(max(CASE WHEN field = '{f}' AND keep THEN freq END), 6)"
+        f" AS {f}_f"
+        for f in FIELDS
+    )
+    doc_v = ",\n           ".join(
+        f"max(CASE WHEN field = '{f}' AND keep THEN value END) AS {f}_v"
+        for f in ("n_shipname", "n_callsign", "n_imo")
+    )
+    doc_f = ",\n           ".join(
+        f"max(CASE WHEN field = '{f}' AND keep THEN freq END) AS {f}_f"
+        for f in ("n_shipname", "n_callsign", "n_imo")
+    )
+    out_vf = ", ".join(
+        [f"b.{f}_v" for f in FIELDS] + [f"b.{f}_f" for f in FIELDS]
+    )
+    return f"""
+WITH RECURSIVE {full_segmenter_ctes(DEFAULT_PARAMS)},
+{_IDENT_CTES.strip().rstrip()},
+seg_scalars AS (
+    SELECT doc_id, seg_id,
+           max(date) AS day,
+           min(first_pos_timestamp) AS first_pos_timestamp,
+           max(last_pos_timestamp)  AS last_pos_timestamp,
+           CAST(sum(pos_count) AS BIGINT) AS pos_count
+    FROM segday GROUP BY doc_id, seg_id
+    HAVING max(date) = (SELECT max(date) FROM segday)
+),
+seg_icount AS (
+    SELECT doc_id, seg_id, CAST(count(*) AS BIGINT) AS ident_count
+    FROM ident_rows GROUP BY doc_id, seg_id
+),
+seg_field_counts AS (
+    SELECT doc_id, seg_id, field, value, CAST(count(*) AS BIGINT) AS cnt
+    FROM fieldvals GROUP BY doc_id, seg_id, field, value
+),
+seg_top AS (
+    SELECT c.*,
+           c.cnt / CAST(i.ident_count AS DOUBLE) > {MOST_COMMON_MIN_FREQ}
+               AS keep
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY seg_id, field
+                                  ORDER BY cnt DESC, value ASC) AS rn,
+               cnt / CAST(sum(cnt) OVER (PARTITION BY seg_id, field)
+                          AS DOUBLE) AS freq
+        FROM seg_field_counts
+    ) c
+    LEFT JOIN seg_icount i ON i.doc_id = c.doc_id AND i.seg_id = c.seg_id
+    WHERE c.rn = 1
+),
+smc AS (
+    SELECT doc_id, seg_id,
+           {seg_v},
+           {seg_f}
+    FROM seg_top GROUP BY doc_id, seg_id
+),
+doc_icount AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS d_ident_count
+    FROM ident_rows GROUP BY doc_id
+),
+doc_top AS (
+    SELECT c.*,
+           c.cnt / CAST(i.d_ident_count AS DOUBLE) > {MOST_COMMON_MIN_FREQ}
+               AS keep
+    FROM (
+        SELECT doc_id, field, value, CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (PARTITION BY doc_id, field
+                                  ORDER BY count(*) DESC, value ASC) AS rn,
+               count(*) / CAST(sum(count(*)) OVER (PARTITION BY doc_id, field)
+                               AS DOUBLE) AS freq
+        FROM fieldvals
+        WHERE field IN ('n_shipname', 'n_callsign', 'n_imo')
+        GROUP BY doc_id, field, value
+    ) c
+    JOIN doc_icount i ON i.doc_id = c.doc_id
+    WHERE c.rn = 1
+),
+dmc AS (
+    SELECT doc_id,
+           {doc_v},
+           {doc_f}
+    FROM doc_top GROUP BY doc_id
+),
+overlap_docs AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               lead(first_pos_timestamp) OVER (
+                   PARTITION BY doc_id
+                   ORDER BY first_pos_timestamp, seg_id) AS next_start,
+               last_pos_timestamp
+        FROM segday WHERE pos_count > {SPOOFING_THRESHOLD}
+    )
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN last_pos_timestamp > next_start THEN 1 ELSE 0 END) > 0
+),
+single_ident AS (
+    SELECT doc_id,
+           {_o_guid("doc_id", "n_imo_v", "n_shipname_v", "n_callsign_v")}
+               AS ssvid_vessel_id
+    FROM dmc
+    WHERE least(coalesce(n_shipname_f, 1.0),
+                coalesce(n_callsign_f, 1.0),
+                coalesce(n_imo_f, 1.0)) > {SINGLE_IDENT_MIN_FREQ}
+),
+no_overlap_single AS (
+    SELECT s.* FROM single_ident s
+    ANTI JOIN overlap_docs o ON s.doc_id = o.doc_id
+)
+SELECT coalesce(n.ssvid_vessel_id,
+        {_o_guid("b.doc_id", "b.n_imo_v", "b.n_shipname_v", "b.n_callsign_v")})
+           AS vessel_id,
+       n.ssvid_vessel_id IS NOT NULL AS single_ident,
+       b.seg_id, b.doc_id, b.day,
+       b.first_pos_timestamp, b.last_pos_timestamp, b.pos_count,
+       CAST(coalesce(i.ident_count, 0) AS BIGINT) AS ident_count,
+       CAST(b.pos_count + coalesce(i.ident_count, 0) AS BIGINT) AS msg_count,
+       {out_vf}
+FROM (
+    SELECT s.*, {", ".join(f"m.{f}_v" for f in FIELDS)},
+           {", ".join(f"m.{f}_f" for f in FIELDS)}
+    FROM seg_scalars s
+    LEFT JOIN smc m ON m.doc_id = s.doc_id AND m.seg_id = s.seg_id
+) b
+LEFT JOIN seg_icount i ON i.doc_id = b.doc_id AND i.seg_id = b.seg_id
+LEFT JOIN no_overlap_single n ON n.doc_id = b.doc_id
+"""
+
+
+QUERIES = {
+    "segment_identity_daily": q_segment_identity_daily,
+    "segment_vessel_daily": q_segment_vessel_daily,
+}
+
+ORACLES = {
+    "segment_identity_daily": _oracle_identity_daily(),
+    "segment_vessel_daily": _oracle_vessel_daily(),
+}

@@ -186,49 +186,76 @@ FROM token_stream t LEFT JOIN sess s USING (doc_id, msgid)
 
 
 def q_invalid_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type invalid-value masking (reference invalid_values.py:97-277):
-    out-of-range bounds per source type, sentinel rule, group rule."""
+    """Per-type invalid-value masking from the declarative rule table
+    (functions/invalid_values.py; reference invalid_values.py:97-200):
+    per-(type, field) bounds, fixed-point-compared bounds, sentinels, the
+    IMO zfill+range rule, plus the group rule (both payload fields NULL
+    together — reference VMS lat=lon=0)."""
+    from pipe_segment_spark.functions.invalid_values import compile_spark_mask
+
     df = token_stream(spark, sf_dir)
-    n = F.col("n_tok")
     src = F.col("source")
-    masked = (
-        F.when((src == "click") & ((n < 2) | (n >= 90)), F.lit(None))
-        .when((src == "view") & ((n < 1) | (n >= 95)), F.lit(None))
-        .when((src == "error") & (n % 10 == 0), F.lit(None))  # sentinel analog
-        .otherwise(n)
+    rate = F.col("n_tok") / F.size("tokens")
+    imo = F.substring("msgid", 2, 100)
+    df = df.select(
+        "doc_id",
+        "source",
+        "msgid",
+        "tokens",
+        compile_spark_mask("n_tok", F.col("n_tok"), src).alias("n_tok_valid"),
+        compile_spark_mask("rate", rate, src).alias("rate_valid"),
+        compile_spark_mask("ident", F.col("ident_value"), src).alias(
+            "ident_valid"
+        ),
+        compile_spark_mask("imo", imo, src).alias("imo_valid"),
     )
-    df = df.withColumn("n_tok_valid", masked)
-    # group rule (reference VMS lat=lon=0 -> both NULL): single-token rows
-    # with n_tok == 1 null out both payload fields
+    # group rule: single-token rows with n_tok == 1 null out both payload
+    # fields together
     grp = (F.col("n_tok_valid") == 1) & (F.size("tokens") == 1)
     return df.select(
         "doc_id",
         "source",
         "msgid",
-        F.when(grp, F.lit(None)).otherwise(F.col("n_tok_valid")).alias("n_tok_valid"),
+        F.when(grp, F.lit(None)).otherwise(F.col("n_tok_valid")).alias(
+            "n_tok_valid"
+        ),
+        "rate_valid",
+        "ident_valid",
+        "imo_valid",
         F.when(grp, F.lit(None))
         .otherwise(F.array_join("tokens", ","))
         .alias("tokens_s"),
     )
 
 
-O_INVALID_VALUES = f"""
+def _o_invalid_values() -> str:
+    from pipe_segment_spark.functions.invalid_values import compile_sql_mask
+
+    n_tok = compile_sql_mask("n_tok", "n_tok")
+    rate = compile_sql_mask("rate", "(CAST(n_tok AS DOUBLE) / len(tokens))")
+    ident = compile_sql_mask("ident", "ident_value")
+    imo = compile_sql_mask("imo", "substr(msgid, 2)")
+    return f"""
 WITH {TOKEN_STREAM_CTE},
 masked AS (
     SELECT doc_id, source, msgid, tokens,
-           CASE WHEN source = 'click' AND (n_tok < 2 OR n_tok >= 90) THEN NULL
-                WHEN source = 'view'  AND (n_tok < 1 OR n_tok >= 95) THEN NULL
-                WHEN source = 'error' AND n_tok % 10 = 0 THEN NULL
-                ELSE n_tok END AS n_tok_valid
+           {n_tok} AS n_tok_valid,
+           {rate} AS rate_valid,
+           {ident} AS ident_valid,
+           {imo} AS imo_valid
     FROM token_stream
 )
 SELECT doc_id, source, msgid,
        CASE WHEN n_tok_valid = 1 AND len(tokens) = 1 THEN NULL
             ELSE n_tok_valid END AS n_tok_valid,
+       rate_valid, ident_valid, imo_valid,
        CASE WHEN n_tok_valid = 1 AND len(tokens) = 1 THEN NULL
             ELSE array_to_string(tokens, ',') END AS tokens_s
 FROM masked
 """
+
+
+O_INVALID_VALUES = _o_invalid_values()
 
 
 def q_bad_hours_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

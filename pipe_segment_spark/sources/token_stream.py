@@ -68,6 +68,12 @@ def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id") % IDENT_EVERY == 0,
             F.concat(F.lit("name_"), (F.col("event_id") % 5).cast("string")),
         ).alias("ident_value"),
+        # second counted-record payload (reference fragments carry BOTH
+        # 'identities' AND 'destinations' arrays, transform/fragment.py:24-72)
+        F.when(
+            F.col("event_id") % IDENT_EVERY == 0,
+            F.concat(F.lit("dst_"), (F.col("event_id") % 4).cast("string")),
+        ).alias("dest_value"),
     )
 
 
@@ -89,7 +95,10 @@ token_stream AS (
              THEN 'IDENT' ELSE 'POS' END                      AS rec_type,
         CASE WHEN event_id % {IDENT_EVERY} = 0
              THEN 'name_' || CAST(event_id % 5 AS VARCHAR)
-             END                                              AS ident_value
+             END                                              AS ident_value,
+        CASE WHEN event_id % {IDENT_EVERY} = 0
+             THEN 'dst_' || CAST(event_id % 4 AS VARCHAR)
+             END                                              AS dest_value
     FROM events
 )
 """

@@ -26,7 +26,13 @@ def test_query_matches_oracle(spark, con, name):
         spark, con, name, QUERIES[name], ORACLES.get(name), SF_DIR, verbose=False
     )
     assert r["status"] in ("OK", "rows-only"), r["status"]
-    assert r["spark_rows"] > 0 or name in ("customers_without_orders",)
+    # queries that are legitimately empty at sf0.001 (oracle agrees): the
+    # anti-join finds no orphans; the offsets pipeline's pair-count gate
+    # (>= 3 same-day cross-source pairs) has nothing at 1k records
+    assert r["spark_rows"] > 0 or name in (
+        "customers_without_orders",
+        "satellite_offsets_full",
+    )
 
 
 def test_entry_smoke(spark):

@@ -42,6 +42,7 @@ def record_streams(draw):
                 "msgid": f"m{i:04d}",
                 "rec_type": "IDENT" if is_ident else "POS",
                 "ident_value": f"id{i % 3}" if is_ident else None,
+                "dest_value": f"dst{i % 2}" if is_ident else None,
             }
         )
     return recs

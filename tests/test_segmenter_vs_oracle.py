@@ -23,7 +23,7 @@ PARAMS = SegmenterParams()
 
 
 def make_record(doc_id, ts, n_tok, msgid, tokens=None, rec_type="POS", source="s1",
-                ident_value=None):
+                ident_value=None, dest_value=None):
     if tokens is None and n_tok is not None:
         tokens = [int(n_tok), int(n_tok) + 1]
     return {
@@ -35,6 +35,7 @@ def make_record(doc_id, ts, n_tok, msgid, tokens=None, rec_type="POS", source="s
         "msgid": msgid,
         "rec_type": rec_type,
         "ident_value": ident_value,
+        "dest_value": dest_value,
     }
 
 
@@ -58,6 +59,7 @@ def records_to_df(spark, records):
             StructField("msgid", StringType()),
             StructField("rec_type", StringType()),
             StructField("ident_value", StringType()),
+            StructField("dest_value", StringType()),
         ]
     )
     rows = [
@@ -70,6 +72,7 @@ def records_to_df(spark, records):
             r["msgid"],
             r["rec_type"],
             r["ident_value"],
+            r.get("dest_value"),
         )
         for r in records
     ]
@@ -99,6 +102,9 @@ def assert_tagged_match(out, expected):
 
 
 def assert_segments_match(out, expected):
+    def ctuple(arr):
+        return tuple((i["value"], i["count"]) for i in arr)
+
     got = sorted(
         (
             r["seg_id"],
@@ -107,8 +113,10 @@ def assert_segments_match(out, expected):
             r["first_timestamp"],
             r["daily_msg_count"],
             r["cumulative_msg_count"],
-            tuple((i["value"], i["count"]) for i in r["daily_identities"]),
-            tuple((i["value"], i["count"]) for i in r["cumulative_identities"]),
+            ctuple(r["daily_identities"]),
+            ctuple(r["cumulative_identities"]),
+            ctuple(r["daily_destinations"]),
+            ctuple(r["cumulative_destinations"]),
         )
         for r in out.segments.collect()
     )
@@ -120,8 +128,10 @@ def assert_segments_match(out, expected):
             r["first_timestamp"].replace(tzinfo=None),
             r["daily_msg_count"],
             r["cumulative_msg_count"],
-            tuple((i["value"], i["count"]) for i in r["daily_identities"]),
-            tuple((i["value"], i["count"]) for i in r["cumulative_identities"]),
+            ctuple(r["daily_identities"]),
+            ctuple(r["cumulative_identities"]),
+            ctuple(r["daily_destinations"]),
+            ctuple(r["cumulative_destinations"]),
         )
         for r in expected["segments"]
     )
@@ -185,7 +195,8 @@ class TestReferenceShapes:
 
     def test_identity_attach(self, spark):
         # identity-only record attaches to nearest fragment's signature but
-        # doesn't advance it (reference AIS.5 case in test_message_type)
+        # doesn't advance it (reference AIS.5 case in test_message_type);
+        # both counted arrays accumulate (identities AND destinations)
         recs = [
             make_record("d1", T0, 10, "m0"),
             make_record(
@@ -195,6 +206,7 @@ class TestReferenceShapes:
                 "m1",
                 rec_type="IDENT",
                 ident_value="shippy",
+                dest_value="PORT A",
             ),
         ]
         out, expected = run_both(spark, recs)
@@ -204,6 +216,9 @@ class TestReferenceShapes:
         assert seg["daily_msg_count"] == 1
         assert [(i["value"], i["count"]) for i in seg["daily_identities"]] == [
             ("shippy", 1)
+        ]
+        assert [(i["value"], i["count"]) for i in seg["daily_destinations"]] == [
+            ("PORT A", 1)
         ]
 
     def test_multi_day_merge(self, spark):
@@ -264,6 +279,39 @@ class TestReferenceShapes:
         assert_segments_match(out, expected)
 
 
+def test_fragment_boundary_tokens(spark):
+    """Fragments built with the records side-input carry first/last token
+    payloads equal to the oracle's fragment checkpoint format (ADVICE r01:
+    fragment-level token arrays must be asserted)."""
+    from pipe_segment_spark.operators.fragment import (
+        fragments_from_tagged,
+        tag_fragments_narrow,
+    )
+
+    recs = [
+        make_record("d1", T0 + timedelta(hours=i), 10 + i, f"m{i}",
+                    tokens=[100 + i, 200 + i])
+        for i in range(4)
+    ] + [
+        make_record("d1", T0 + timedelta(hours=2, minutes=5), 90, "mx",
+                    tokens=[7, 8, 9])  # interleaved second fragment
+    ]
+    df = records_to_df(spark, recs)
+    frags = fragments_from_tagged(
+        tag_fragments_narrow(df, PARAMS), records=df
+    ).collect()
+    expected = {
+        f["frag_id"]: (tuple(f["first_tokens"]), tuple(f["last_tokens"]))
+        for f in oracle.fragment_stream(recs, PARAMS)[0]
+    }
+    got = {
+        f["frag_id"]: (tuple(f["first_tokens"]), tuple(f["last_tokens"]))
+        for f in frags
+    }
+    assert got == expected
+    assert len(got) == 2
+
+
 @pytest.mark.parametrize("max_gap_hours,max_dtok_rate", [(6.0, 30.0), (2.0, 10.0)])
 def test_sweep_sf0001(spark, max_gap_hours, max_dtok_rate):
     """Full-stream sweep: engine == oracle on the sf0.001-derived stream."""
@@ -282,6 +330,7 @@ def test_sweep_sf0001(spark, max_gap_hours, max_dtok_rate):
             "msgid": r["msgid"],
             "rec_type": r["rec_type"],
             "ident_value": r["ident_value"],
+            "dest_value": r["dest_value"],
         }
         for r in rows
     ]
