@@ -88,6 +88,44 @@ def _force(df) -> int:
     return df.count()
 
 
+def bench_longlived_segment(spark) -> dict:
+    """One doc_id alive for 150 days (hourly records + daily identities):
+    the fixture that made the r01 cumulative-identity inequality join
+    quadratic. The forward-fill plan must keep this linear — wall time here
+    guards the regression."""
+    import datetime as dt
+
+    from pipe_segment_spark.pipeline import run_batch_pipeline
+
+    base = dt.datetime(2023, 1, 1)
+    rows = []
+    for d in range(150):
+        for h in range(0, 24, 2):
+            ts = base + dt.timedelta(days=d, hours=h)
+            i = d * 24 + h
+            rows.append(
+                ("doc", "s", ts, [1, 2], 50, f"m{i:06d}", "POS", None, None)
+            )
+        rows.append(
+            (
+                "doc", "s", base + dt.timedelta(days=d, hours=1, minutes=5),
+                [1], 50, f"i{d:06d}", "IDENT", f"name_{d % 6}", f"dst_{d % 3}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, source string, timestamp timestamp, "
+        "tokens array<int>, n_tok int, msgid string, rec_type string, "
+        "ident_value string, dest_value string",
+    )
+    t0 = time.perf_counter()
+    n = run_batch_pipeline(df, persist=False).segments.count()
+    return {
+        "longlived_segment_sec": round(time.perf_counter() - t0, 3),
+        "longlived_segment_days": n,
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -120,6 +158,7 @@ def main():
         "segments_emitted": rows["segmenter_full_segments"],
     }
     throughput.update(bench_streaming(spark, sf_dir))
+    throughput.update(bench_longlived_segment(spark))
 
     print(
         json.dumps(

@@ -25,11 +25,28 @@ import sys
 
 
 def parse_args(argv):
+    from pipe_segment_spark.cli import parse_segmenter_params, valid_daterange
+
     p = argparse.ArgumentParser(description="pipe-segment-spark segmenter")
     p.add_argument("--input", required=True, help="token table path (parquet)")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--mode", choices=["batch", "stream"], default="batch")
     p.add_argument("--checkpoint", help="stream checkpoint dir (stream mode)")
+    p.add_argument(
+        "--segmenter-params",
+        type=parse_segmenter_params,
+        default=None,
+        help="'max_gap_hours:6, max_dtok_rate:30' or JSON object "
+        "(reference --segmenter_params surface); overrides the individual "
+        "threshold flags",
+    )
+    p.add_argument(
+        "--date-range",
+        type=valid_daterange,
+        default=None,
+        help="YYYY-MM-DD,YYYY-MM-DD inclusive event-date filter (reference "
+        "--date_range)",
+    )
     p.add_argument("--watermark", default="0 seconds")
     p.add_argument(
         "--available-now",
@@ -52,7 +69,7 @@ def main(argv=None):
 
     from pipe_segment_spark.config import SegmenterParams
 
-    params = SegmenterParams(
+    params = args.segmenter_params or SegmenterParams(
         max_gap_hours=args.max_gap_hours,
         max_dtok_rate=args.max_dtok_rate,
         buffer_hours=args.buffer_hours,
@@ -70,6 +87,13 @@ def main(argv=None):
         from pipe_segment_spark.pipeline import run_batch_pipeline
 
         records = spark.read.parquet(args.input)
+        if args.date_range:
+            from pyspark.sql import functions as F
+
+            lo, hi = args.date_range
+            records = records.where(
+                F.to_date("timestamp").between(str(lo), str(hi))
+            )
         out = run_batch_pipeline(records, params)
         out.segments.write.mode("overwrite").parquet(f"{args.output}/segments")
         out.segmap.write.mode("overwrite").parquet(f"{args.output}/segmap")

@@ -20,54 +20,74 @@ COUNTED_ARRAYS = [
 ]
 
 
-def _rollup_counted(daily: DataFrame, src_col: str, daily_col: str, cum_col: str):
-    """One counted array -> (daily arrays df, cumulative arrays df).
+def _rollup_counted(daily: DataFrame):
+    """Both counted arrays -> one (seg_id, date) df with the four array
+    columns, in a SINGLE fused pipeline (one explode, one aggregation tree,
+    one forward-fill window — not per-array).
 
     Cumulative arrays must include values seen on PRIOR days even if absent
     today. Linear plan (not a days x value-dates inequality join, which is
-    quadratic in segment lifetime): scaffold (seg, day) x distinct value,
-    forward-fill the running count with last(ignoreNulls) over a
-    (seg, value) window ordered by date, drop rows before a value's first
-    appearance, re-collect. Scaffold cardinality == output cardinality, so
-    this is optimal for the materialized-array format even at 100x scale.
+    quadratic in segment lifetime): scaffold (seg, day) x distinct
+    (kind, value), forward-fill the running count with last(ignoreNulls)
+    over a (seg, kind, value) window ordered by date, drop rows before a
+    value's first appearance, re-collect conditionally per kind. Scaffold
+    cardinality == output cardinality, so this is optimal for the
+    materialized-array format even at 100x scale.
     """
+    kinds = F.array(
+        *[
+            F.struct(
+                F.lit(src).alias("kind"), F.col(f"__day_{src}").alias("arr")
+            )
+            for src, _, _ in COUNTED_ARRAYS
+        ]
+    )
     vals = (
-        daily.select("seg_id", "date", F.explode(f"__day_{src_col}").alias("i"))
-        .groupBy("seg_id", "date", F.col("i.value").alias("value"))
+        daily.select("seg_id", "date", F.explode(kinds).alias("k"))
+        .select("seg_id", "date", "k.kind", F.explode("k.arr").alias("i"))
+        .groupBy("seg_id", "date", "kind", F.col("i.value").alias("value"))
         .agg(F.sum("i.count").alias("cnt"))
     )
     w_val = (
-        Window.partitionBy("seg_id", "value")
+        Window.partitionBy("seg_id", "kind", "value")
         .orderBy("date")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     vals = vals.withColumn("cum_cnt", F.sum("cnt").over(w_val))
+
+    def collect_arr(kind: str, count_col, out_col: str):
+        return F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("kind") == kind,
+                    F.struct(F.col("value"), count_col.alias("count")),
+                )
+            )
+        ).alias(out_col)
+
     daily_arr = vals.groupBy("seg_id", "date").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("value"), F.col("cnt").alias("count")))
-        ).alias(daily_col)
+        *[
+            collect_arr(src, F.col("cnt"), daily_col)
+            for src, daily_col, _ in COUNTED_ARRAYS
+        ]
     )
     days = daily.select("seg_id", "date")
-    distinct_vals = vals.select("seg_id", "value").distinct()
-    w_ff = (
-        Window.partitionBy("seg_id", "value")
-        .orderBy("date")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    distinct_vals = vals.select("seg_id", "kind", "value").distinct()
     cum_arr = (
         days.join(distinct_vals, "seg_id")
         .join(
-            vals.select("seg_id", "value", "date", "cum_cnt"),
-            ["seg_id", "value", "date"],
+            vals.select("seg_id", "kind", "value", "date", "cum_cnt"),
+            ["seg_id", "kind", "value", "date"],
             "left",
         )
-        .withColumn("count", F.last("cum_cnt", ignorenulls=True).over(w_ff))
+        .withColumn("count", F.last("cum_cnt", ignorenulls=True).over(w_val))
         .where(F.col("count").isNotNull())
         .groupBy("seg_id", "date")
         .agg(
-            F.sort_array(F.collect_list(F.struct("value", "count"))).alias(
-                cum_col
-            )
+            *[
+                collect_arr(src, F.col("count"), cum_col)
+                for src, _, cum_col in COUNTED_ARRAYS
+            ]
         )
     )
     return daily_arr, cum_arr
@@ -97,13 +117,12 @@ def create_segments(fragments_with_seg: DataFrame) -> DataFrame:
         "cumulative_msg_count", F.sum("daily_msg_count").over(w_cum)
     ).withColumn("first_timestamp", F.min("__day_first_ts").over(w_cum))
 
-    out = daily
+    daily_arr, cum_arr = _rollup_counted(daily)
+    out = daily.join(daily_arr, ["seg_id", "date"], "left").join(
+        cum_arr, ["seg_id", "date"], "left"
+    )
     arr_cols = []
-    for src, daily_col, cum_col in COUNTED_ARRAYS:
-        daily_arr, cum_arr = _rollup_counted(daily, src, daily_col, cum_col)
-        out = out.join(daily_arr, ["seg_id", "date"], "left").join(
-            cum_arr, ["seg_id", "date"], "left"
-        )
+    for _, daily_col, cum_col in COUNTED_ARRAYS:
         arr_cols += [
             F.coalesce(daily_col, F.array()).alias(daily_col),
             F.coalesce(cum_col, F.array()).alias(cum_col),

@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipe_segment_spark.config import DEFAULT_PARAMS
-from pipe_segment_spark.pipeline import run_batch_pipeline
 from pipe_segment_spark.queries.engine_oracle import full_segmenter_ctes
 from pipe_segment_spark.sources.token_stream import token_stream
 
@@ -66,10 +65,52 @@ def _norm(col):
     return F.regexp_replace(F.upper(col), "[^A-Z0-9]", "")
 
 
-def _ident_field_rows(tagged: DataFrame) -> DataFrame:
-    """IDENT records attached to a fragment -> long-format
+def _engine_parts(spark: SparkSession, sf_dir: str):
+    """Lean composition for the identity jobs: the narrow tagged stream
+    (no token payload — identity jobs never read it, so the record-sized
+    payload re-attach join is skipped entirely), fragments+seg_id, segmap.
+    Small intermediates persisted exactly like run_batch_pipeline."""
+    from pyspark.storagelevel import StorageLevel
+
+    from pipe_segment_spark.operators.fragment import (
+        fragments_from_tagged,
+        tag_fragments_narrow,
+    )
+    from pipe_segment_spark.operators.segment_map import create_segment_map
+    from pipe_segment_spark.operators.tag import tag_fragments_with_seg_id
+
+    records = token_stream(spark, sf_dir)
+    narrow = tag_fragments_narrow(records, DEFAULT_PARAMS).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frags = fragments_from_tagged(narrow).persist(StorageLevel.MEMORY_AND_DISK)
+    segmap = create_segment_map(frags, DEFAULT_PARAMS).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frags_seg = tag_fragments_with_seg_id(frags, segmap)
+    ident = (
+        narrow.where(
+            (F.col("rec_type") == "IDENT")
+            & F.col("ident_value").isNotNull()
+            & F.col("frag_id").isNotNull()
+        )
+        .join(segmap.select("frag_id", "seg_id"), "frag_id")
+        .select(
+            "doc_id",
+            "seg_id",
+            F.to_date("timestamp").alias("date"),
+            "msgid",
+            "ident_value",
+        )
+    )
+    return ident, _seg_days(frags_seg)
+
+
+def _ident_field_rows(ident: DataFrame) -> DataFrame:
+    """Attached IDENT records -> long-format
     (doc_id, seg_id, date, field, value) rows, value NULL when the
-    presence filter drops it."""
+    presence filter drops it. The 'shipname' field is present on every
+    attached record, so shipname rows double as the ident_count base."""
     ev = F.substring("msgid", 2, 100).cast("long")
     shipname = F.col("ident_value")
     callsign = F.when(
@@ -94,28 +135,12 @@ def _ident_field_rows(tagged: DataFrame) -> DataFrame:
             for f in FIELDS
         ]
     )
-    base = tagged.where(
-        (F.col("rec_type") == "IDENT")
-        & F.col("ident_value").isNotNull()
-        & F.col("frag_id").isNotNull()
-    ).select(
-        "doc_id",
-        "seg_id",
-        F.to_date("timestamp").alias("date"),
-        F.explode(fv).alias("fv"),
+    base = ident.select(
+        "doc_id", "seg_id", "date", F.explode(fv).alias("fv")
     )
     return base.select(
         "doc_id", "seg_id", "date", "fv.field", "fv.value"
     ).where(F.col("value").isNotNull())
-
-
-def _ident_base(tagged: DataFrame) -> DataFrame:
-    """Attached IDENT records (one row each) for ident_count."""
-    return tagged.where(
-        (F.col("rec_type") == "IDENT")
-        & F.col("ident_value").isNotNull()
-        & F.col("frag_id").isNotNull()
-    ).select("doc_id", "seg_id", F.to_date("timestamp").alias("date"))
 
 
 def _seg_days(fragments_with_seg: DataFrame) -> DataFrame:
@@ -151,22 +176,21 @@ def _ser_field(field: str):
 
 
 def q_segment_identity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = run_batch_pipeline(token_stream(spark, sf_dir), DEFAULT_PARAMS)
-    tagged = out.tagged_records
+    ident, segday = _engine_parts(spark, sf_dir)
     counts = (
-        _ident_field_rows(tagged)
+        _ident_field_rows(ident)
         .groupBy("doc_id", "seg_id", "date", "field", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     arrs = counts.groupBy("doc_id", "seg_id", "date").agg(
         *[_ser_field(f) for f in FIELDS]
     )
+    # shipname rows exist for every attached IDENT record -> ident_count
     icounts = (
-        _ident_base(tagged)
+        counts.where(F.col("field") == "shipname")
         .groupBy("doc_id", "seg_id", "date")
-        .agg(F.count(F.lit(1)).alias("ident_count"))
+        .agg(F.sum("cnt").cast("long").alias("ident_count"))
     )
-    segday = _seg_days(out.fragments)
     return (
         segday.join(arrs, ["doc_id", "seg_id", "date"], "left")
         .join(icounts, ["doc_id", "seg_id", "date"], "left")
@@ -217,11 +241,8 @@ def _guid(ssvid, imo, shipname, callsign):
 
 
 def q_segment_vessel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = run_batch_pipeline(token_stream(spark, sf_dir), DEFAULT_PARAMS)
-    tagged = out.tagged_records
-    segday = _seg_days(out.fragments)
-    frows = _ident_field_rows(tagged)
-    ibase = _ident_base(tagged)
+    ident, segday = _engine_parts(spark, sf_dir)
+    frows = _ident_field_rows(ident)
 
     # --- window aggregation per segment (window = whole dataset) ---
     last_day = segday.agg(F.max("date").alias("last_day"))
@@ -237,13 +258,17 @@ def q_segment_vessel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("day") == F.col("last_day"))
         .drop("last_day")
     )
-    seg_icount = ibase.groupBy("doc_id", "seg_id").agg(
-        F.count(F.lit(1)).alias("ident_count")
-    )
 
     # --- mostCommon + minFreqFilter per (seg, field) ---
+    # one pass over the field rows feeds the per-seg counts, the per-doc
+    # counts AND both ident_count denominators (shipname rows == IDENT rows)
     seg_field_counts = frows.groupBy("doc_id", "seg_id", "field", "value").agg(
         F.count(F.lit(1)).alias("cnt")
+    )
+    seg_icount = (
+        seg_field_counts.where(F.col("field") == "shipname")
+        .groupBy("doc_id", "seg_id")
+        .agg(F.sum("cnt").cast("long").alias("ident_count"))
     )
     w_top = Window.partitionBy("seg_id", "field").orderBy(
         F.desc("cnt"), F.asc("value")
@@ -285,13 +310,15 @@ def q_segment_vessel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- ssvid-level mostCommon of the normalized fields ---
-    doc_icount = ibase.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("d_ident_count")
+    doc_icount = seg_icount.groupBy("doc_id").agg(
+        F.sum("ident_count").cast("long").alias("d_ident_count")
     )
     doc_field_counts = (
-        frows.where(F.col("field").isin("n_shipname", "n_callsign", "n_imo"))
+        seg_field_counts.where(
+            F.col("field").isin("n_shipname", "n_callsign", "n_imo")
+        )
         .groupBy("doc_id", "field", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
     w_dtop = Window.partitionBy("doc_id", "field").orderBy(
         F.desc("cnt"), F.asc("value")

@@ -56,3 +56,20 @@ def test_write_read_prune_and_idempotent_rerun(spark, tmp_path):
     delete_date_range(spark, path, d_lo, d_lo)
     remaining = spark.read.parquet(path).select("date").distinct().count()
     assert remaining == len(days) - 1
+
+
+def test_msgid_unique_contract(spark):
+    """The (doc_id, msgid) uniqueness contract the tag-back joins rely on
+    (tag_fragments / session_tagged_records re-attach payloads by
+    (doc_id, msgid) — duplicates would fan out rows and mis-tag;
+    ADVICE r01). token_stream guarantees it by construction (msgid =
+    'm' || event_id); any new source must too."""
+    from pipe_segment_spark.sources.token_stream import token_stream
+
+    from tests.conftest import SF_DIR
+
+    df = token_stream(spark, SF_DIR)
+    assert (
+        df.groupBy("doc_id", "msgid").count().where(F.col("count") > 1).count()
+        == 0
+    )
