@@ -50,10 +50,12 @@ US_PER_DAY = 86_400_000_000
 _UDF_COLS = "doc_id timestamp msgid n_tok rec_type source has_payload".split()
 
 
+# the kernel never reads ident_value/dest_value — they stay JVM-side and
+# re-join at IDENT-row cardinality (~1/11 of records), so the per-record
+# Arrow transfer carries no string payload beyond the ids
 NARROW_TAGGED_SCHEMA = (
     "doc_id string, source string, timestamp timestamp, n_tok int, "
-    "msgid string, rec_type string, ident_value string, dest_value string, "
-    "frag_id string"
+    "msgid string, rec_type string, frag_id string"
 )
 
 
@@ -108,8 +110,6 @@ def assign_frag_ids(pdf, params: SegmenterParams):
             "n_tok",
             "msgid",
             "rec_type",
-            "ident_value",
-            "dest_value",
         )
     }
     out["frag_id"] = frag_ids
@@ -132,8 +132,6 @@ def tag_fragments_narrow(
 
     narrow = df.select(
         *[c for c in _UDF_COLS if c != "has_payload"],
-        "ident_value",
-        "dest_value",
         (
             F.col("tokens").isNotNull()
             & (F.size("tokens") > 0)
@@ -178,7 +176,9 @@ def tag_fragments(
 
 
 def fragments_from_tagged(
-    tagged: DataFrame, records: DataFrame | None = None
+    tagged: DataFrame,
+    records: DataFrame | None = None,
+    with_boundary_tokens: bool = False,
 ) -> DataFrame:
     """Pure-Catalyst fragment summaries from tagged records.
 
@@ -188,11 +188,16 @@ def fragments_from_tagged(
     identity/destination signatures via explode + two-level aggregation
     (map-side partials free).
 
-    When ``records`` is given, the boundary token payloads
-    (``first_tokens``/``last_tokens``, reference fragment.py:24-72 keeps
-    full first/last messages) are re-attached by joining the records
-    against the fragment boundary-msgid map — 2 rows per fragment, so AQE
-    broadcasts the map side; the segments path never pays this join.
+    The counted-value payloads (``ident_value``/``dest_value``) never ride
+    through the Python kernel — when ``records`` is given they re-join the
+    narrow tagged stream at IDENT-row cardinality (~1/11 of records) on
+    (doc_id, msgid); without ``records`` the arrays are typed-empty.
+
+    ``with_boundary_tokens`` additionally re-attaches the boundary token
+    payloads (``first_tokens``/``last_tokens``, reference fragment.py:24-72
+    keeps full first/last messages) by joining records against the fragment
+    boundary-msgid map — 2 rows per fragment, so AQE broadcasts the map
+    side; the segments path never pays this join.
     """
     pos = tagged.where(F.col("frag_id").isNotNull())
     key_cols = [F.col("doc_id"), F.col("frag_id")]
@@ -219,7 +224,8 @@ def fragments_from_tagged(
             F.when(is_pos, F.col("msgid")), F.when(is_pos, ord_key)
         ).alias("last_msgid"),
     )
-    if records is not None:
+    if with_boundary_tokens:
+        assert records is not None, "boundary tokens need the records side"
         rsel = records.select("doc_id", "msgid", "tokens")
         first_t = rsel.join(
             base.select(
@@ -237,11 +243,31 @@ def fragments_from_tagged(
             last_t, ["doc_id", "frag_id"], "left"
         )
 
+    arr_type = "array<struct<value:string,count:bigint>>"
+    if records is None:
+        return base.withColumn(
+            "identities", F.array().cast(arr_type)
+        ).withColumn("destinations", F.array().cast(arr_type))
+
+    # counted-value signatures from attached IDENT rows (reference dual
+    # 'identities'/'destinations' arrays, transform/fragment.py:24-72):
+    # the value payload joins the tagged map at IDENT-row cardinality
+    for c in ("ident_value", "dest_value"):
+        if c not in records.columns:
+            records = records.withColumn(c, F.lit(None).cast("string"))
+    ident_side = records.where(
+        (F.col("rec_type") == "IDENT")
+        & (F.col("ident_value").isNotNull() | F.col("dest_value").isNotNull())
+    ).select("doc_id", "msgid", "ident_value", "dest_value")
+    attached = (
+        tagged.where(F.col("frag_id").isNotNull() & (F.col("rec_type") == "IDENT"))
+        .select("doc_id", "msgid", "frag_id")
+        .join(ident_side, ["doc_id", "msgid"])
+    )
+
     def counted_array(value_col: str, out_col: str):
-        """Counted-value signature from attached IDENT rows (reference dual
-        'identities'/'destinations' arrays, transform/fragment.py:24-72)."""
         return (
-            pos.where(~is_pos & F.col(value_col).isNotNull())
+            attached.where(F.col(value_col).isNotNull())
             .groupBy("doc_id", "frag_id", value_col)
             .agg(F.count(F.lit(1)).alias("count"))
             .groupBy("doc_id", "frag_id")
@@ -263,6 +289,12 @@ def fragments_from_tagged(
     return (
         base.join(idents, ["doc_id", "frag_id"], "left")
         .join(dests, ["doc_id", "frag_id"], "left")
-        .withColumn("identities", F.coalesce(F.col("identities"), F.array()))
-        .withColumn("destinations", F.coalesce(F.col("destinations"), F.array()))
+        .withColumn(
+            "identities",
+            F.coalesce(F.col("identities"), F.array().cast(arr_type)),
+        )
+        .withColumn(
+            "destinations",
+            F.coalesce(F.col("destinations"), F.array().cast(arr_type)),
+        )
     )

@@ -59,7 +59,7 @@ def run_batch_pipeline(
     narrow = tag_fragments_narrow(records, params)
     if persist:
         narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
-    fragments = fragments_from_tagged(narrow)
+    fragments = fragments_from_tagged(narrow, records=records)
     if persist:
         fragments = fragments.persist(StorageLevel.MEMORY_AND_DISK)
     segmap = create_segment_map(fragments, params)

@@ -51,8 +51,6 @@ def tag_fragments_salted(
     salt = (F.unix_date(F.to_date("timestamp")) / days_per_salt).cast("long")
     narrow = df.select(
         *[c for c in _UDF_COLS if c != "has_payload"],
-        "ident_value",
-        "dest_value",
         (
             F.col("tokens").isNotNull()
             & (F.size("tokens") > 0)

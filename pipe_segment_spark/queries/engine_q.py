@@ -59,7 +59,9 @@ def q_segmenter_full_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     records = token_stream(spark, sf_dir)
     frags = fragments_from_tagged(
-        tag_fragments_narrow(records, DEFAULT_PARAMS), records=records
+        tag_fragments_narrow(records, DEFAULT_PARAMS),
+        records=records,
+        with_boundary_tokens=True,
     )
     return frags.select(
         "doc_id",

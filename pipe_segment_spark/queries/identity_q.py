@@ -88,12 +88,17 @@ def _engine_parts(spark: SparkSession, sf_dir: str):
         StorageLevel.MEMORY_AND_DISK
     )
     frags_seg = tag_fragments_with_seg_id(frags, segmap)
+    # the identity payload stays JVM-side (never rides the kernel): join it
+    # back onto the narrow map at IDENT-row cardinality
+    ident_side = records.where(
+        (F.col("rec_type") == "IDENT") & F.col("ident_value").isNotNull()
+    ).select("doc_id", "msgid", "ident_value")
     ident = (
         narrow.where(
-            (F.col("rec_type") == "IDENT")
-            & F.col("ident_value").isNotNull()
-            & F.col("frag_id").isNotNull()
+            (F.col("rec_type") == "IDENT") & F.col("frag_id").isNotNull()
         )
+        .select("doc_id", "msgid", "frag_id", "timestamp")
+        .join(ident_side, ["doc_id", "msgid"])
         .join(segmap.select("frag_id", "seg_id"), "frag_id")
         .select(
             "doc_id",
@@ -427,6 +432,236 @@ def q_segment_vessel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The remaining downstream jobs: segment_info, segment_vessel, vessel_info
+# (reference assets/segment_info.sql.j2:34-101, segment_vessel.sql.j2:15-36,
+# vessel_info.sql.j2:55-118). They consume the DAILY vessel assignment —
+# recast: per-(seg, day) GUID from that day's mostCommon'd normalized fields
+# (the segment_vessel_daily shard stand-in), so latest-day pick-1 ranking is
+# genuinely exercised across days.
+# ---------------------------------------------------------------------------
+
+VESSEL_FIELDS = ("n_shipname", "n_callsign", "n_imo")
+
+
+def _counts_daily(ident: DataFrame) -> DataFrame:
+    return (
+        _ident_field_rows(ident)
+        .groupBy("doc_id", "seg_id", "date", "field", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _most_common_fields(field_counts, icount, keys, fields=FIELDS):
+    """mostCommon + minFreqFilter per (keys, field), pivoted to
+    {field}_v / {field}_f columns (freq rounded 6 for output)."""
+    w_top = Window.partitionBy(*keys, "field").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    w_tot = Window.partitionBy(*keys, "field")
+    top = (
+        field_counts.withColumn("rn", F.row_number().over(w_top))
+        .withColumn(
+            "freq", F.col("cnt") / F.sum("cnt").over(w_tot).cast("double")
+        )
+        .where(F.col("rn") == 1)
+        .join(icount, keys, "left")
+        .withColumn(
+            "keep",
+            F.col("cnt") / F.col("ident_count").cast("double")
+            > MOST_COMMON_MIN_FREQ,
+        )
+    )
+    return top.groupBy(*keys).agg(
+        *[
+            F.max(
+                F.when((F.col("field") == f) & F.col("keep"), F.col("value"))
+            ).alias(f"{f}_v")
+            for f in fields
+        ],
+        *[
+            F.round(
+                F.max(
+                    F.when((F.col("field") == f) & F.col("keep"), F.col("freq"))
+                ),
+                6,
+            ).alias(f"{f}_f")
+            for f in fields
+        ],
+    )
+
+
+def _vessels_daily(counts: DataFrame, segday: DataFrame) -> DataFrame:
+    """Per-(seg, day) daily vessel_id GUID — every active seg-day gets one
+    (days with no surviving normalized identity hash the null-field GUID,
+    as the reference daily job would)."""
+    icounts = (
+        counts.where(F.col("field") == "shipname")
+        .groupBy("doc_id", "seg_id", "date")
+        .agg(F.sum("cnt").alias("ident_count"))
+    )
+    piv = _most_common_fields(
+        counts.where(F.col("field").isin(*VESSEL_FIELDS)),
+        icounts,
+        ["doc_id", "seg_id", "date"],
+        fields=VESSEL_FIELDS,
+    )
+    return (
+        segday.select("doc_id", "seg_id", "date")
+        .join(piv, ["doc_id", "seg_id", "date"], "left")
+        .select(
+            "doc_id",
+            "seg_id",
+            "date",
+            _guid(
+                F.col("doc_id"),
+                F.col("n_imo_v"),
+                F.col("n_shipname_v"),
+                F.col("n_callsign_v"),
+            ).alias("vessel_id"),
+        )
+    )
+
+
+def _best_vessel(vessels: DataFrame) -> DataFrame:
+    """Latest-day pick-1: rank each seg's vessel_ids by latest active day
+    (W1, segment_info.sql.j2:77-88)."""
+    latest = vessels.groupBy("seg_id", "vessel_id").agg(
+        F.max("date").alias("latest_day")
+    )
+    w = Window.partitionBy("seg_id").orderBy(
+        F.desc("latest_day"), F.asc("vessel_id")
+    )
+    return (
+        latest.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("seg_id", "vessel_id")
+    )
+
+
+def q_segment_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per seg_id over the full range: whole-range mostCommon of the
+    8 fields + the best (latest-day) vessel_id (segment_info.sql.j2)."""
+    ident, segday = _engine_parts(spark, sf_dir)
+    counts = _counts_daily(ident)
+    seg_counts = counts.groupBy("doc_id", "seg_id", "field", "value").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    seg_icount = (
+        seg_counts.where(F.col("field") == "shipname")
+        .groupBy("doc_id", "seg_id")
+        .agg(F.sum("cnt").cast("long").alias("ident_count"))
+    )
+    smc = _most_common_fields(seg_counts, seg_icount, ["doc_id", "seg_id"])
+    scalars = segday.groupBy("doc_id", "seg_id").agg(
+        F.min("first_pos_timestamp").alias("first_pos_timestamp"),
+        F.max("last_pos_timestamp").alias("last_pos_timestamp"),
+        F.sum("pos_count").alias("pos_count"),
+    )
+    best = _best_vessel(_vessels_daily(counts, segday))
+    return (
+        scalars.join(seg_icount, ["doc_id", "seg_id"], "left")
+        .join(smc, ["doc_id", "seg_id"], "left")
+        .join(best, "seg_id")
+        .select(
+            "vessel_id",
+            "seg_id",
+            "doc_id",
+            "first_pos_timestamp",
+            "last_pos_timestamp",
+            "pos_count",
+            F.coalesce("ident_count", F.lit(0)).cast("long").alias(
+                "ident_count"
+            ),
+            (F.col("pos_count") + F.coalesce("ident_count", F.lit(0)))
+            .cast("long")
+            .alias("msg_count"),
+            *[F.col(f"{f}_v") for f in FIELDS],
+            *[F.col(f"{f}_f") for f in FIELDS],
+        )
+    )
+
+
+def q_segment_vessel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-many (seg_id, ssvid, vessel_id) map with active-day counts
+    and latest-day rank (segment_vessel.sql.j2:15-36: COUNT(DISTINCT day) +
+    MIN/MAX + ROW_NUMBER)."""
+    ident, segday = _engine_parts(spark, sf_dir)
+    vessels = _vessels_daily(_counts_daily(ident), segday)
+    grouped = vessels.groupBy("seg_id", "doc_id", "vessel_id").agg(
+        F.countDistinct("date").alias("days"),
+        F.min("date").alias("first_date"),
+        F.max("date").alias("last_date"),
+    )
+    w = Window.partitionBy("seg_id").orderBy(
+        F.desc("last_date"), F.asc("vessel_id")
+    )
+    return grouped.withColumn(
+        "vessel_id_rank", F.row_number().over(w)
+    ).select(
+        "seg_id",
+        "doc_id",
+        "vessel_id",
+        "days",
+        "first_date",
+        "last_date",
+        "vessel_id_rank",
+    )
+
+
+def q_vessel_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (vessel_id, ssvid): seg-days regrouped by each segment's
+    best vessel_id, whole-range mostCommon per vessel
+    (vessel_info.sql.j2:70-118)."""
+    ident, segday = _engine_parts(spark, sf_dir)
+    counts = _counts_daily(ident)
+    best = _best_vessel(_vessels_daily(counts, segday))
+    v_counts = (
+        counts.join(best, "seg_id")
+        .groupBy("doc_id", "vessel_id", "field", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    day_icounts = (
+        counts.where(F.col("field") == "shipname")
+        .groupBy("doc_id", "seg_id")
+        .agg(F.sum("cnt").alias("ident_count"))
+    )
+    v_icount = (
+        day_icounts.join(best, "seg_id")
+        .groupBy("doc_id", "vessel_id")
+        .agg(F.sum("ident_count").cast("long").alias("ident_count"))
+    )
+    vmc = _most_common_fields(v_counts, v_icount, ["doc_id", "vessel_id"])
+    scalars = (
+        segday.join(best, "seg_id")
+        .groupBy("doc_id", "vessel_id")
+        .agg(
+            F.min("first_pos_timestamp").alias("first_pos_timestamp"),
+            F.max("last_pos_timestamp").alias("last_pos_timestamp"),
+            F.sum("pos_count").alias("pos_count"),
+        )
+    )
+    return (
+        scalars.join(v_icount, ["doc_id", "vessel_id"], "left")
+        .join(vmc, ["doc_id", "vessel_id"], "left")
+        .select(
+            "vessel_id",
+            "doc_id",
+            "first_pos_timestamp",
+            "last_pos_timestamp",
+            "pos_count",
+            F.coalesce("ident_count", F.lit(0)).cast("long").alias(
+                "ident_count"
+            ),
+            (F.col("pos_count") + F.coalesce("ident_count", F.lit(0)))
+            .cast("long")
+            .alias("msg_count"),
+            *[F.col(f"{f}_v") for f in FIELDS],
+            *[F.col(f"{f}_f") for f in FIELDS],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (extend the recursive full-segmenter CTEs)
 # ---------------------------------------------------------------------------
 
@@ -675,12 +910,180 @@ LEFT JOIN no_overlap_single n ON n.doc_id = b.doc_id
 """
 
 
+def _o_most_common(src: str, icount: str, keys: list[str],
+                   fields=FIELDS) -> str:
+    """SQL mirror of _most_common_fields: top-1 per (keys, field) with freq
+    and the minFreq keep flag, pivoted to {f}_v / {f}_f (rounded 6)."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"i.{k} = c.{k}" for k in keys)
+    vs = ",\n           ".join(
+        f"max(CASE WHEN field = '{f}' AND keep THEN value END) AS {f}_v"
+        for f in fields
+    )
+    fs = ",\n           ".join(
+        f"round(max(CASE WHEN field = '{f}' AND keep THEN freq END), 6)"
+        f" AS {f}_f"
+        for f in fields
+    )
+    return f"""(
+    SELECT {ks}, {vs}, {fs}
+    FROM (
+        SELECT c.*,
+               c.cnt / CAST(i.ident_count AS DOUBLE) > {MOST_COMMON_MIN_FREQ}
+                   AS keep
+        FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY {ks}, field
+                                      ORDER BY cnt DESC, value ASC) AS rn,
+                   cnt / CAST(sum(cnt) OVER (PARTITION BY {ks}, field)
+                              AS DOUBLE) AS freq
+            FROM {src}
+        ) c
+        LEFT JOIN {icount} i ON {on}
+        WHERE c.rn = 1
+    ) GROUP BY {ks}
+)"""
+
+
+# shared daily-vessel CTE chain for the downstream jobs
+_VESSEL_CTES = f"""
+counts AS MATERIALIZED (
+    SELECT doc_id, seg_id, date, field, value,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM fieldvals GROUP BY doc_id, seg_id, date, field, value
+),
+icounts_d AS MATERIALIZED (
+    SELECT doc_id, seg_id, date, CAST(sum(cnt) AS BIGINT) AS ident_count
+    FROM counts WHERE field = 'shipname' GROUP BY doc_id, seg_id, date
+),
+vdaily_piv AS MATERIALIZED {_o_most_common(
+    "(SELECT * FROM counts WHERE field IN ('n_shipname','n_callsign','n_imo'))",
+    "icounts_d", ["doc_id", "seg_id", "date"], fields=VESSEL_FIELDS)},
+vessels AS MATERIALIZED (
+    SELECT s.doc_id, s.seg_id, s.date,
+           {_o_guid("s.doc_id", "p.n_imo_v", "p.n_shipname_v",
+                    "p.n_callsign_v")} AS vessel_id
+    FROM segday s
+    LEFT JOIN vdaily_piv p ON p.doc_id = s.doc_id AND p.seg_id = s.seg_id
+                          AND p.date = s.date
+),
+best_vessel AS MATERIALIZED (
+    SELECT seg_id, vessel_id FROM (
+        SELECT seg_id, vessel_id,
+               row_number() OVER (PARTITION BY seg_id
+                                  ORDER BY latest_day DESC, vessel_id)
+                   AS rn
+        FROM (SELECT seg_id, vessel_id, max(date) AS latest_day
+              FROM vessels GROUP BY seg_id, vessel_id)
+    ) WHERE rn = 1
+),
+seg_counts AS MATERIALIZED (
+    SELECT doc_id, seg_id, field, value, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM counts GROUP BY doc_id, seg_id, field, value
+),
+seg_icount_w AS MATERIALIZED (
+    SELECT doc_id, seg_id, CAST(sum(cnt) AS BIGINT) AS ident_count
+    FROM seg_counts WHERE field = 'shipname' GROUP BY doc_id, seg_id
+)
+"""
+
+_OUT_VF = ", ".join([f"m.{f}_v" for f in FIELDS] + [f"m.{f}_f" for f in FIELDS])
+
+
+def _oracle_segment_info() -> str:
+    return f"""
+WITH RECURSIVE {full_segmenter_ctes(DEFAULT_PARAMS)},
+{_IDENT_CTES.strip().rstrip()},
+{_VESSEL_CTES.strip().rstrip()},
+smc AS {_o_most_common("seg_counts", "seg_icount_w", ["doc_id", "seg_id"])},
+scalars AS (
+    SELECT doc_id, seg_id,
+           min(first_pos_timestamp) AS first_pos_timestamp,
+           max(last_pos_timestamp)  AS last_pos_timestamp,
+           CAST(sum(pos_count) AS BIGINT) AS pos_count
+    FROM segday GROUP BY doc_id, seg_id
+)
+SELECT b.vessel_id, s.seg_id, s.doc_id,
+       s.first_pos_timestamp, s.last_pos_timestamp, s.pos_count,
+       CAST(coalesce(i.ident_count, 0) AS BIGINT) AS ident_count,
+       CAST(s.pos_count + coalesce(i.ident_count, 0) AS BIGINT) AS msg_count,
+       {_OUT_VF}
+FROM scalars s
+LEFT JOIN seg_icount_w i ON i.doc_id = s.doc_id AND i.seg_id = s.seg_id
+LEFT JOIN smc m ON m.doc_id = s.doc_id AND m.seg_id = s.seg_id
+JOIN best_vessel b ON b.seg_id = s.seg_id
+"""
+
+
+def _oracle_segment_vessel() -> str:
+    return f"""
+WITH RECURSIVE {full_segmenter_ctes(DEFAULT_PARAMS)},
+{_IDENT_CTES.strip().rstrip()},
+{_VESSEL_CTES.strip().rstrip()}
+SELECT seg_id, doc_id, vessel_id,
+       CAST(count(DISTINCT date) AS BIGINT) AS days,
+       min(date) AS first_date,
+       max(date) AS last_date,
+       CAST(row_number() OVER (
+           PARTITION BY seg_id ORDER BY max(date) DESC, vessel_id
+       ) AS BIGINT) AS vessel_id_rank
+FROM vessels
+GROUP BY seg_id, doc_id, vessel_id
+"""
+
+
+def _oracle_vessel_info() -> str:
+    return f"""
+WITH RECURSIVE {full_segmenter_ctes(DEFAULT_PARAMS)},
+{_IDENT_CTES.strip().rstrip()},
+{_VESSEL_CTES.strip().rstrip()},
+v_counts AS (
+    SELECT c.doc_id, b.vessel_id, c.field, c.value,
+           CAST(sum(c.cnt) AS BIGINT) AS cnt
+    FROM counts c JOIN best_vessel b ON b.seg_id = c.seg_id
+    GROUP BY c.doc_id, b.vessel_id, c.field, c.value
+),
+v_icount AS (
+    SELECT i.doc_id, b.vessel_id,
+           CAST(sum(i.ident_count) AS BIGINT) AS ident_count
+    FROM (
+        SELECT doc_id, seg_id, CAST(sum(cnt) AS BIGINT) AS ident_count
+        FROM counts WHERE field = 'shipname' GROUP BY doc_id, seg_id
+    ) i JOIN best_vessel b ON b.seg_id = i.seg_id
+    GROUP BY i.doc_id, b.vessel_id
+),
+vmc AS {_o_most_common("v_counts", "v_icount", ["doc_id", "vessel_id"])},
+v_scalars AS (
+    SELECT s.doc_id, b.vessel_id,
+           min(s.first_pos_timestamp) AS first_pos_timestamp,
+           max(s.last_pos_timestamp)  AS last_pos_timestamp,
+           CAST(sum(s.pos_count) AS BIGINT) AS pos_count
+    FROM segday s JOIN best_vessel b ON b.seg_id = s.seg_id
+    GROUP BY s.doc_id, b.vessel_id
+)
+SELECT s.vessel_id, s.doc_id,
+       s.first_pos_timestamp, s.last_pos_timestamp, s.pos_count,
+       CAST(coalesce(i.ident_count, 0) AS BIGINT) AS ident_count,
+       CAST(s.pos_count + coalesce(i.ident_count, 0) AS BIGINT) AS msg_count,
+       {_OUT_VF}
+FROM v_scalars s
+LEFT JOIN v_icount i ON i.doc_id = s.doc_id AND i.vessel_id = s.vessel_id
+LEFT JOIN vmc m ON m.doc_id = s.doc_id AND m.vessel_id = s.vessel_id
+"""
+
+
 QUERIES = {
     "segment_identity_daily": q_segment_identity_daily,
     "segment_vessel_daily": q_segment_vessel_daily,
+    "segment_info": q_segment_info,
+    "segment_vessel": q_segment_vessel,
+    "vessel_info": q_vessel_info,
 }
 
 ORACLES = {
     "segment_identity_daily": _oracle_identity_daily(),
     "segment_vessel_daily": _oracle_vessel_daily(),
+    "segment_info": _oracle_segment_info(),
+    "segment_vessel": _oracle_segment_vessel(),
+    "vessel_info": _oracle_vessel_info(),
 }

@@ -298,7 +298,7 @@ def test_fragment_boundary_tokens(spark):
     ]
     df = records_to_df(spark, recs)
     frags = fragments_from_tagged(
-        tag_fragments_narrow(df, PARAMS), records=df
+        tag_fragments_narrow(df, PARAMS), records=df, with_boundary_tokens=True
     ).collect()
     expected = {
         f["frag_id"]: (tuple(f["first_tokens"]), tuple(f["last_tokens"]))
