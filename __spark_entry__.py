@@ -2,9 +2,11 @@
 
 ``entry(spark)`` runs the flagship query (the full greedy segmenter over the
 sf0.001-derived token stream). ``queries()``/``oracle_sql()`` expose every
-implemented operator from SURVEY.md §2 with DuckDB-checkable oracles where
-SQL-expressible (stateful per-key-sequential ops get rows-only checks and are
-exact-matched against a pure-Python oracle in pytest instead).
+implemented operator from SURVEY.md §2, each with a DuckDB-checkable oracle —
+including the stateful per-key-sequential ops (recursive-CTE replay in
+queries/engine_oracle.py) and the multimodal stub (sha256 expression replay).
+The engine is additionally exact-matched against an independent pure-Python
+oracle in pytest.
 """
 
 from __future__ import annotations

@@ -1,9 +1,10 @@
 """Driver-facing query registry.
 
 Each sub-module exposes QUERIES (name -> callable(spark, sf_dir) -> DataFrame)
-and ORACLES (name -> DuckDB SQL over the pre-registered views). Names without
-an oracle entry get the driver's weaker rows-only check (non-SQL-expressible
-ops: the full multi-open greedy segmenter, streaming, multimodal stubs).
+and ORACLES (name -> DuckDB SQL over the pre-registered views). EVERY query
+has an oracle — the stateful per-key-sequential ops (full greedy segmenter,
+streaming drain) are replayed in DuckDB via recursive CTEs
+(queries/engine_oracle.py), the multimodal stub via sha256 expression replay.
 """
 
 from __future__ import annotations

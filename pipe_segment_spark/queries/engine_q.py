@@ -1,7 +1,12 @@
-"""Full-engine queries: the multi-open greedy segmenter and multimodal
-plumbing. Not SQL-expressible (stateful per-key sequential algorithms) —
-driver records rows-only checks; exact-match correctness is enforced in
-pytest against the pure-Python oracle (tests/test_segmenter_vs_oracle.py).
+"""Full-engine queries: the multi-open greedy segmenter (batch segments /
+fragments / tagged + the streaming drain) and the multimodal plumbing.
+
+All are in the driver's HARD gate: the stateful per-key algorithms are
+replayed in DuckDB as recursive CTEs (queries/engine_oracle.py), the
+multimodal stub as a sha256->float32 expression chain
+(queries/multimodal_oracle.py). Exact-match correctness is additionally
+enforced in pytest against the independent pure-Python oracle
+(tests/test_segmenter_vs_oracle.py).
 """
 
 from __future__ import annotations
