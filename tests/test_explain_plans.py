@@ -62,6 +62,25 @@ def test_create_segments_no_inequality_join(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_composites_no_cartesian(spark):
+    """The end-to-end composites must stay equi-join shaped: no cartesian
+    or nested-loop joins anywhere (the only cross join is the broadcast
+    single-row last-day scalar)."""
+    for name in ("satellite_offsets_full", "segment_vessel_daily",
+                 "segment_info", "vessel_info"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "NestedLoop" not in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_identity_composites_reuse_cache(spark):
+    """The identity composites persist the narrow/fragments/segmap
+    intermediates — the plan must show InMemoryTableScan reuse so the
+    fragmenter kernel executes once, not per consumer branch."""
+    plan = _plan(QUERIES["segment_vessel_daily"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+
+
 def test_sessionize_single_shuffle(spark):
     plan = _plan(QUERIES["seg_sessionize"](spark, SF_DIR))
     # lag/sum/min windows all share the doc_id partitioning: exactly one
