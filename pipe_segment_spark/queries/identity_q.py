@@ -245,12 +245,30 @@ def _guid(ssvid, imo, shipname, callsign):
     )
 
 
-def q_segment_vessel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_segment_vessel_daily(
+    spark: SparkSession, sf_dir: str, window_days: int | None = None
+) -> DataFrame:
+    """window_days=None aggregates the whole range; an integer mirrors the
+    reference's sliding N-day window (windowStart() = processDate −
+    (window_days − 1), segment_vessel_daily.sql.j2:12-13) — the date filter
+    prunes partitions on a date-partitioned table."""
     ident, segday = _engine_parts(spark, sf_dir)
+    last_day = segday.agg(F.max("date").alias("last_day"))
+    if window_days is not None:
+        start = F.date_sub(F.col("last_day"), window_days - 1)
+        segday = (
+            segday.crossJoin(F.broadcast(last_day))
+            .where(F.col("date") >= start)
+            .drop("last_day")
+        )
+        ident = (
+            ident.crossJoin(F.broadcast(last_day))
+            .where(F.col("date") >= start)
+            .drop("last_day")
+        )
     frows = _ident_field_rows(ident)
 
-    # --- window aggregation per segment (window = whole dataset) ---
-    last_day = segday.agg(F.max("date").alias("last_day"))
+    # --- window aggregation per segment ---
     seg_scalars = (
         segday.groupBy("doc_id", "seg_id")
         .agg(
@@ -776,7 +794,7 @@ def _o_guid(ssvid: str, imo: str, shipname: str, callsign: str) -> str:
     )
 
 
-def _oracle_vessel_daily() -> str:
+def _oracle_vessel_daily(window_days: int | None = None) -> str:
     seg_v = ",\n           ".join(
         f"max(CASE WHEN field = '{f}' AND keep THEN value END) AS {f}_v"
         for f in FIELDS
@@ -797,25 +815,37 @@ def _oracle_vessel_daily() -> str:
     out_vf = ", ".join(
         [f"b.{f}_v" for f in FIELDS] + [f"b.{f}_f" for f in FIELDS]
     )
+    if window_days is None:
+        wctes = ""
+        seg_t, ir_t, fv_t = "segday", "ident_rows", "fieldvals"
+    else:
+        # reference windowStart() = processDate - (window_days - 1)
+        # (segment_vessel_daily.sql.j2:12-13); prunes date partitions
+        wstart = f"(SELECT max(date) - {window_days - 1} FROM segday)"
+        wctes = f"""
+segday_w AS (SELECT * FROM segday WHERE date >= {wstart}),
+ident_rows_w AS (SELECT * FROM ident_rows WHERE date >= {wstart}),
+fieldvals_w AS (SELECT * FROM fieldvals WHERE date >= {wstart}),"""
+        seg_t, ir_t, fv_t = "segday_w", "ident_rows_w", "fieldvals_w"
     return f"""
 WITH RECURSIVE {full_segmenter_ctes(DEFAULT_PARAMS)},
-{_IDENT_CTES.strip().rstrip()},
+{_IDENT_CTES.strip().rstrip()},{wctes}
 seg_scalars AS (
     SELECT doc_id, seg_id,
            max(date) AS day,
            min(first_pos_timestamp) AS first_pos_timestamp,
            max(last_pos_timestamp)  AS last_pos_timestamp,
            CAST(sum(pos_count) AS BIGINT) AS pos_count
-    FROM segday GROUP BY doc_id, seg_id
+    FROM {seg_t} GROUP BY doc_id, seg_id
     HAVING max(date) = (SELECT max(date) FROM segday)
 ),
 seg_icount AS (
     SELECT doc_id, seg_id, CAST(count(*) AS BIGINT) AS ident_count
-    FROM ident_rows GROUP BY doc_id, seg_id
+    FROM {ir_t} GROUP BY doc_id, seg_id
 ),
 seg_field_counts AS (
     SELECT doc_id, seg_id, field, value, CAST(count(*) AS BIGINT) AS cnt
-    FROM fieldvals GROUP BY doc_id, seg_id, field, value
+    FROM {fv_t} GROUP BY doc_id, seg_id, field, value
 ),
 seg_top AS (
     SELECT c.*,
@@ -840,7 +870,7 @@ smc AS (
 ),
 doc_icount AS (
     SELECT doc_id, CAST(count(*) AS BIGINT) AS d_ident_count
-    FROM ident_rows GROUP BY doc_id
+    FROM {ir_t} GROUP BY doc_id
 ),
 doc_top AS (
     SELECT c.*,
@@ -852,7 +882,7 @@ doc_top AS (
                                   ORDER BY count(*) DESC, value ASC) AS rn,
                count(*) / CAST(sum(count(*)) OVER (PARTITION BY doc_id, field)
                                AS DOUBLE) AS freq
-        FROM fieldvals
+        FROM {fv_t}
         WHERE field IN ('n_shipname', 'n_callsign', 'n_imo')
         GROUP BY doc_id, field, value
     ) c
@@ -872,7 +902,7 @@ overlap_docs AS (
                    PARTITION BY doc_id
                    ORDER BY first_pos_timestamp, seg_id) AS next_start,
                last_pos_timestamp
-        FROM segday WHERE pos_count > {SPOOFING_THRESHOLD}
+        FROM {seg_t} WHERE pos_count > {SPOOFING_THRESHOLD}
     )
     GROUP BY doc_id
     HAVING sum(CASE WHEN last_pos_timestamp > next_start THEN 1 ELSE 0 END) > 0
@@ -1072,9 +1102,17 @@ LEFT JOIN vmc m ON m.doc_id = s.doc_id AND m.vessel_id = s.vessel_id
 """
 
 
+def q_segment_vessel_daily_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual windowed form: aggregate the trailing 7 days
+    only (windowStart() = processDate - 6) — the date filter prunes
+    partitions on a date-partitioned table."""
+    return q_segment_vessel_daily(spark, sf_dir, window_days=7)
+
+
 QUERIES = {
     "segment_identity_daily": q_segment_identity_daily,
     "segment_vessel_daily": q_segment_vessel_daily,
+    "segment_vessel_daily_7d": q_segment_vessel_daily_7d,
     "segment_info": q_segment_info,
     "segment_vessel": q_segment_vessel,
     "vessel_info": q_vessel_info,
@@ -1083,6 +1121,7 @@ QUERIES = {
 ORACLES = {
     "segment_identity_daily": _oracle_identity_daily(),
     "segment_vessel_daily": _oracle_vessel_daily(),
+    "segment_vessel_daily_7d": _oracle_vessel_daily(window_days=7),
     "segment_info": _oracle_segment_info(),
     "segment_vessel": _oracle_segment_vessel(),
     "vessel_info": _oracle_vessel_info(),
