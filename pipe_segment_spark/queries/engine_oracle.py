@@ -426,6 +426,28 @@ LEFT JOIN segmap m ON m.doc_id = t.doc_id AND m.frag_id = t.frag_id
 """
 
 
+def oracle_stream_identity_join(p: SegmenterParams = DEFAULT_PARAMS) -> str:
+    """Stream-static identity join drain: every tagged record LEFT-joined to
+    the per-doc identity lookup (streaming/identity_join.py
+    join_identity_static — the join result is batch-deterministic)."""
+    return f"""
+WITH RECURSIVE {full_segmenter_ctes(p)},
+lookup AS (
+    SELECT doc_id,
+           min(timestamp)    AS ident_since,
+           min(ident_value)  AS shipname,
+           max(ident_value)  AS callsign
+    FROM token_stream
+    WHERE ident_value IS NOT NULL
+    GROUP BY doc_id
+)
+SELECT t.doc_id, t.timestamp, t.msgid, t.frag_id,
+       l.ident_since, l.shipname, l.callsign
+FROM tagged_f t
+LEFT JOIN lookup l ON l.doc_id = t.doc_id
+"""
+
+
 def oracle_streaming(p: SegmenterParams = DEFAULT_PARAMS) -> str:
     """The streaming engine's drained sink: tagged rows (immediate emission)
     + segmap rows (day-close emission). Equals the batch engine on the same

@@ -145,11 +145,71 @@ def q_segmenter_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _identity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing per-doc identity summary (the static side of the
+    stream-identity join): deterministic aggregates over IDENT records."""
+    return (
+        token_stream(spark, sf_dir)
+        .where(F.col("ident_value").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.min("timestamp").alias("summary_timestamp"),
+            F.min("ident_value").alias("shipname"),
+            F.max("ident_value").alias("callsign"),
+        )
+    )
+
+
+def q_stream_identity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 end-to-end: the streaming segmenter's tagged output stream-static
+    LEFT-joined against the slowly-changing identity lookup INSIDE each
+    microbatch (Spark re-plans stream-static joins per batch), drained via
+    availableNow into the exactly-once sink."""
+    import tempfile
+
+    from pipe_segment_spark.streaming.identity_join import join_identity_static
+    from pipe_segment_spark.streaming.segmenter_stream import (
+        INPUT_SCHEMA_DDL,
+        stream_segment,
+    )
+    from pipe_segment_spark.streaming.sink import idempotent_batch_writer, read_sink
+
+    ident = _identity_lookup(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="seg_ijoin_q_")
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    token_stream(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(in_dir)
+
+    def joined(df: DataFrame) -> DataFrame:
+        tagged = stream_segment(df, DEFAULT_PARAMS).where(
+            F.col("kind") == "tagged"
+        )
+        return join_identity_static(tagged, ident).select(
+            "doc_id", "timestamp", "msgid", "frag_id",
+            "ident_since", "shipname", "callsign",
+        )
+
+    q = (
+        spark.readStream.schema(INPUT_SCHEMA_DDL)
+        .parquet(in_dir)
+        .transform(joined)
+        .writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return read_sink(spark, out_dir).select(
+        "doc_id", "timestamp", "msgid", "frag_id",
+        "ident_since", "shipname", "callsign",
+    )
+
+
 QUERIES = {
     "segmenter_full_segments": q_segmenter_full_segments,
     "segmenter_full_fragments": q_segmenter_full_fragments,
     "segmenter_full_tagged": q_segmenter_full_tagged,
     "segmenter_streaming": q_segmenter_streaming,
+    "stream_identity_join": q_stream_identity_join,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -157,6 +217,7 @@ from pipe_segment_spark.queries.engine_oracle import (  # noqa: E402
     oracle_full_fragments,
     oracle_full_segments,
     oracle_full_tagged,
+    oracle_stream_identity_join,
     oracle_streaming,
 )
 from pipe_segment_spark.queries.multimodal_oracle import (  # noqa: E402
@@ -168,5 +229,6 @@ ORACLES: dict[str, str] = {
     "segmenter_full_fragments": oracle_full_fragments(DEFAULT_PARAMS),
     "segmenter_full_tagged": oracle_full_tagged(DEFAULT_PARAMS),
     "segmenter_streaming": oracle_streaming(DEFAULT_PARAMS),
+    "stream_identity_join": oracle_stream_identity_join(DEFAULT_PARAMS),
     "multimodal_features": ORACLE_MULTIMODAL,
 }
