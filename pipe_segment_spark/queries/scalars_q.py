@@ -190,12 +190,87 @@ FROM lagged WHERE prev_lat IS NOT NULL
 """
 
 
+def q_message_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 MessageStats (sandbox/stats/stats.py:15-96): per-key numeric
+    stats (min/max/first/last/count, first/last by the deterministic
+    (timestamp, msgid) order) + per-field most_common value with its count
+    (MessageFieldCounter.most_common, ties broken by value)."""
+    from pyspark.sql import Window
+
+    df = token_stream(spark, sf_dir)
+    ord_key = F.struct("timestamp", "msgid")
+    numeric = df.groupBy("doc_id").agg(
+        F.min("n_tok").alias("n_tok_min"),
+        F.max("n_tok").alias("n_tok_max"),
+        F.min_by("n_tok", ord_key).alias("n_tok_first"),
+        F.max_by("n_tok", ord_key).alias("n_tok_last"),
+        F.count("n_tok").alias("n_tok_count"),
+    )
+
+    def most_common(field: str):
+        counts = df.groupBy("doc_id", field).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc(field))
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                F.col(field).alias(f"{field}_mc"),
+                F.col("cnt").alias(f"{field}_mc_count"),
+            )
+        )
+
+    return numeric.join(most_common("source"), "doc_id").join(
+        most_common("rec_type"), "doc_id"
+    )
+
+
+O_MESSAGE_STATS = f"""
+WITH {TOKEN_STREAM_CTE},
+ordered AS (
+    SELECT doc_id, n_tok,
+           first_value(n_tok) OVER w AS n_tok_first,
+           last_value(n_tok) OVER w  AS n_tok_last
+    FROM token_stream
+    WINDOW w AS (PARTITION BY doc_id ORDER BY timestamp, msgid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+numeric AS (
+    SELECT doc_id, min(n_tok) AS n_tok_min, max(n_tok) AS n_tok_max,
+           min(n_tok_first) AS n_tok_first, min(n_tok_last) AS n_tok_last,
+           CAST(count(n_tok) AS BIGINT) AS n_tok_count
+    FROM ordered GROUP BY doc_id
+),
+src_mc AS (
+    SELECT doc_id, source AS source_mc, cnt AS source_mc_count FROM (
+        SELECT doc_id, source, CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, source ASC) AS rn
+        FROM token_stream GROUP BY doc_id, source
+    ) WHERE rn = 1
+),
+rec_mc AS (
+    SELECT doc_id, rec_type AS rec_type_mc, cnt AS rec_type_mc_count FROM (
+        SELECT doc_id, rec_type, CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, rec_type ASC) AS rn
+        FROM token_stream GROUP BY doc_id, rec_type
+    ) WHERE rn = 1
+)
+SELECT n.*, s.source_mc, s.source_mc_count, r.rec_type_mc, r.rec_type_mc_count
+FROM numeric n
+JOIN src_mc s ON s.doc_id = n.doc_id
+JOIN rec_mc r ON r.doc_id = n.doc_id
+"""
+
+
 QUERIES = {
     "json_extract": q_json_extract,
     "imo_validation": q_imo_validation,
     "safe_divide_least": q_safe_divide_least,
     "whitelist_projection": q_whitelist_projection,
     "haversine_drift": q_haversine_drift,
+    "message_stats": q_message_stats,
 }
 
 ORACLES = {
@@ -204,4 +279,5 @@ ORACLES = {
     "safe_divide_least": O_SAFE_DIVIDE_LEAST,
     "whitelist_projection": O_WHITELIST_PROJECTION,
     "haversine_drift": O_HAVERSINE_DRIFT,
+    "message_stats": O_MESSAGE_STATS,
 }
