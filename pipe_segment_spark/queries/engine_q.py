@@ -145,6 +145,60 @@ def q_segmenter_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segmenter_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference daily scheduling as checkpoint-resume: the stream is fed in
+    TWO date-split installments with a full engine stop + restart from
+    checkpoint between them (pipeline.py:231-242 daily reruns). The drained
+    sink must equal the one-shot run byte-for-byte — same recursive-CTE
+    oracle as segmenter_streaming."""
+    import os
+    import tempfile
+
+    from pipe_segment_spark.streaming.segmenter_stream import (
+        INPUT_SCHEMA_DDL,
+        stream_segment,
+    )
+    from pipe_segment_spark.streaming.sink import idempotent_batch_writer, read_sink
+
+    records = token_stream(spark, sf_dir)
+    days = sorted(
+        r["d"]
+        for r in records.select(F.to_date("timestamp").alias("d"))
+        .distinct()
+        .collect()
+    )
+    mid = days[len(days) // 2]
+
+    tmp = tempfile.mkdtemp(prefix="seg_incr_q_")
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(INPUT_SCHEMA_DDL)
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+            .transform(lambda df: stream_segment(df, DEFAULT_PARAMS))
+            .writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    records.where(F.to_date("timestamp") <= F.lit(str(mid))).coalesce(
+        2
+    ).write.mode("overwrite").parquet(f"{in_dir}/feed_0")
+    run_once()  # first installment, engine stops
+    records.where(F.to_date("timestamp") > F.lit(str(mid))).coalesce(
+        2
+    ).write.mode("overwrite").parquet(f"{in_dir}/feed_1")
+    run_once()  # restart from checkpoint, drain the rest
+    return read_sink(spark, out_dir).select(
+        "kind", "doc_id", "timestamp", "msgid", "frag_id", "seg_id", "date"
+    )
+
+
 def _identity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing per-doc identity summary (the static side of the
     stream-identity join): deterministic aggregates over IDENT records."""
@@ -209,6 +263,7 @@ QUERIES = {
     "segmenter_full_fragments": q_segmenter_full_fragments,
     "segmenter_full_tagged": q_segmenter_full_tagged,
     "segmenter_streaming": q_segmenter_streaming,
+    "segmenter_incremental": q_segmenter_incremental,
     "stream_identity_join": q_stream_identity_join,
     "multimodal_features": q_multimodal_features,
 }
@@ -229,6 +284,7 @@ ORACLES: dict[str, str] = {
     "segmenter_full_fragments": oracle_full_fragments(DEFAULT_PARAMS),
     "segmenter_full_tagged": oracle_full_tagged(DEFAULT_PARAMS),
     "segmenter_streaming": oracle_streaming(DEFAULT_PARAMS),
+    "segmenter_incremental": oracle_streaming(DEFAULT_PARAMS),
     "stream_identity_join": oracle_stream_identity_join(DEFAULT_PARAMS),
     "multimodal_features": ORACLE_MULTIMODAL,
 }
