@@ -558,6 +558,128 @@ FROM base
 """
 
 
+PACK_LEN = 512  # context length for sequence packing
+N_SHARDS = 8  # packing parallel unit (deterministic doc_id hash shards)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concat-then-chunk. Docs are laid out
+    in a deterministic order (doc_id) within each hash shard; a running
+    token offset (window cumsum) assigns each doc the pack (context window
+    of PACK_LEN tokens) its first token lands in. Packing is embarrassingly
+    parallel across shards — the standard scalable layout for
+    pre-tokenized training corpora (vs greedy bin packing, which is
+    sequential and barely denser for long-tailed docs). Emits per-pack
+    stats: docs, token fill, boundary docs."""
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("w", F.expr(WORDS_EXPR))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % N_SHARDS).alias("shard"),
+            F.size("w").alias("n_tok"),
+        )
+    )
+    win = Window.partitionBy("shard").orderBy("doc_id")
+    d = d.withColumn(
+        "start_off", F.sum("n_tok").over(win) - F.col("n_tok")
+    ).withColumn("pack_id", F.floor(F.col("start_off") / PACK_LEN))
+    return d.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tok_started"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+        # docs whose tokens straddle into the next pack (split points)
+        F.sum(
+            (
+                F.floor((F.col("start_off") + F.col("n_tok") - 1) / PACK_LEN)
+                > F.col("pack_id")
+            ).cast("long")
+        ).alias("n_straddling"),
+    )
+
+
+O_PACK_SEQUENCES = f"""
+WITH toks AS (
+    SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+           CAST(len({D_WORDS}) AS BIGINT) AS n_tok
+    FROM documents
+),
+off AS (
+    SELECT *,
+           sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+    FROM toks
+)
+SELECT shard, start_off // {PACK_LEN} AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_started,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id,
+       CAST(sum(CASE WHEN (start_off + n_tok - 1) // {PACK_LEN}
+                          > start_off // {PACK_LEN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+FROM off
+GROUP BY shard, start_off // {PACK_LEN}
+"""
+
+
+CONTAM_MAX_DF = 16  # boilerplate shingles excluded, as in dedup_ngram
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training docs sharing any
+    informative 3-gram shingle with the held-out benchmark set (docs with
+    doc_id % 50 == 0 stand in for the benchmark). Equi-join on shingle with
+    the same document-frequency cap as the dedup family — never all-pairs,
+    so the check scales with corpus size, not corpus^2."""
+    sh_all = (
+        _docs(spark, sf_dir)
+        .withColumn("w", F.expr(WORDS_EXPR))
+        .select("doc_id", F.explode(F.expr(SHINGLES_OF_W)).alias("sh"))
+        .distinct()
+    )
+    sh = sh_all.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).where(F.col("df") <= CONTAM_MAX_DF).drop("df")
+    bench = sh.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "sh"
+    )
+    train = sh.where(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("shared_shingles"),
+            F.countDistinct("bench_doc_id").alias("bench_docs_hit"),
+        )
+        .where(F.col("shared_shingles") >= 2)
+    )
+
+
+O_CONTAMINATION_CHECK = f"""
+WITH sh_all AS (
+    SELECT DISTINCT doc_id, sh
+    FROM (SELECT doc_id, unnest({D_SHINGLES}) AS sh FROM documents)
+),
+sh AS (
+    SELECT doc_id, sh FROM (
+        SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM sh_all
+    ) WHERE df <= {CONTAM_MAX_DF}
+),
+bench AS (
+    SELECT doc_id AS bench_doc_id, sh FROM sh WHERE doc_id % 50 = 0
+),
+train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.sh) AS BIGINT) AS shared_shingles,
+       CAST(count(DISTINCT b.bench_doc_id) AS BIGINT) AS bench_docs_hit
+FROM train t JOIN bench b ON t.sh = b.sh
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.sh) >= 2
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -570,6 +692,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "pack_sequences": q_pack_sequences,
+    "contamination_check": q_contamination_check,
 }
 
 ORACLES = {
@@ -584,4 +708,6 @@ ORACLES = {
     "lang_id": O_LANG_ID,
     "token_count": O_TOKEN_COUNT,
     "doc_fingerprint": O_DOC_FINGERPRINT,
+    "pack_sequences": O_PACK_SEQUENCES,
+    "contamination_check": O_CONTAMINATION_CHECK,
 }
