@@ -115,6 +115,13 @@ def main(argv=None):
             .option("recursiveFileLookup", "true")
             .parquet(args.input)
         )
+        if args.date_range:
+            from pyspark.sql import functions as F
+
+            lo, hi = args.date_range
+            stream = stream.where(
+                F.to_date("timestamp").between(str(lo), str(hi))
+            )
         out = stream_segment(stream, params, watermark=args.watermark)
         writer = (
             out.writeStream.foreachBatch(idempotent_batch_writer(args.output))

@@ -89,6 +89,23 @@ class ModSentinel:
 
 
 @dataclass(frozen=True)
+class StrLenBounds:
+    """invalid iff len(v) outside [lo, hi) (reference name/shiptype/callsign
+    length sanity checks)."""
+
+    lo: int
+    hi: int
+
+    def spark(self, v: Column) -> Column:
+        n = F.length(v)
+        return (n < self.lo) | (n >= self.hi)
+
+    def sql(self, v: str) -> str:
+        n = f"length({v})"
+        return f"({n} < {self.lo} OR {n} >= {self.hi})"
+
+
+@dataclass(frozen=True)
 class ImoRange:
     """invalid iff NOT ('0000000001' <= zfill(v, 10) < '1073741824') —
     the reference AIS.5 imo rule verbatim (invalid_values.py:132-134)."""
@@ -103,34 +120,68 @@ class ImoRange:
 
 
 # type (source) -> field -> rule; mirrors
-# INVALID_VALUE_RULES_BY_MESSAGE_TYPE's shape
+# INVALID_VALUE_RULES_BY_MESSAGE_TYPE's shape (reference
+# invalid_values.py:97-200: ~25 field rules over the message types; this
+# table carries 25 instances over 6 rule kinds). ``tok0``/``tok1`` are the
+# fixed-position-field pair (lat/lon analog) with per-source precision
+# variants, exactly like the reference's per-type
+# validate_fixed_position_field precisions.
 RULES: dict[str, dict[str, object]] = {
     "click": {
         "n_tok": Bounds(2, 90),
         "rate": FixedBounds(1, 0.5, 12.0),
         "ident": Sentinel("name_0"),
+        "tok0": FixedBounds(3, 0.5, 45.0),
+        "tok1": FixedBounds(3, 0.5, 42.0),
+        "dest": Sentinel("dst_0"),
     },
     "view": {
         "n_tok": Bounds(1, 95),
         "rate": FixedBounds(0, 1.0, 14.0),
+        "tok0": FixedBounds(2, 0.5, 45.0),
+        "tok1": FixedBounds(2, 0.5, 42.0),
+        "ident": StrLenBounds(2, 6),
     },
     "error": {
         "n_tok": ModSentinel(10),
         "imo": ImoRange(),
+        "tok0": FixedBounds(0, 0.5, 45.0),
+        "dest": StrLenBounds(2, 16),
     },
     "purchase": {
         "n_tok": Bounds(3, 97),
         "rate": FixedBounds(2, 0.5, 13.0),
+        "tok0": FixedBounds(1, 0.5, 45.0),
+        "tok1": FixedBounds(1, 0.5, 42.0),
+        "imo": ImoRange(),
     },
     "signup": {
         "n_tok": Bounds(1, 90),
         "ident": Sentinel("name_0"),
+        "tok0": FixedBounds(4, 0.5, 45.0),
+        "rate": FixedBounds(1, 1.0, 15.0),
+        "dest": Sentinel("dst_0"),
     },
 }
 
-# type -> field tuple invalid TOGETHER (reference VMS lat=lon=0 group rule):
-# all fields in the tuple match -> all set to NULL
-GROUP_RULE_TYPES = ("click", "view", "error", "purchase", "signup")
+# types whose (tok0, tok1) pair is invalid TOGETHER when both round to zero
+# at precision 0 (reference VMS lat=lon=0 group rule,
+# invalid_values.py:163-177): both fields -> NULL as a unit
+GROUP_RULE_TYPES = ("click", "purchase", "signup")
+
+
+def group_rule_spark(source: Column, tok0: Column, tok1: Column) -> Column:
+    """Boolean condition: the (source, tok0=tok1=0) group rule fires."""
+    both_zero = (F.round(tok0, 0) == 0.0) & (F.round(tok1, 0) == 0.0)
+    return source.isin(*GROUP_RULE_TYPES) & both_zero
+
+
+def group_rule_sql(source: str, tok0: str, tok1: str) -> str:
+    srcs = ", ".join(f"'{t}'" for t in GROUP_RULE_TYPES)
+    return (
+        f"({source} IN ({srcs}) AND round({tok0}, 0) = 0.0 "
+        f"AND round({tok1}, 0) = 0.0)"
+    )
 
 
 def compile_spark_mask(field: str, value: Column, source: Column) -> Column:

@@ -202,7 +202,10 @@ def fragments_from_tagged(
     pos = tagged.where(F.col("frag_id").isNotNull())
     key_cols = [F.col("doc_id"), F.col("frag_id")]
     ord_key = F.struct(F.col("timestamp"), F.col("msgid"))
-    is_pos = F.col("rec_type") != "IDENT"
+    # null-safe: the kernel (and the pure-Python oracle) treat NULL rec_type
+    # as positional; a plain != would yield NULL and silently drop such rows
+    # from msg_count / boundary aggregates
+    is_pos = ~F.col("rec_type").eqNullSafe("IDENT")
 
     base = pos.groupBy(*key_cols).agg(
         F.date_trunc("day", F.min(F.when(is_pos, F.col("timestamp")))).alias(

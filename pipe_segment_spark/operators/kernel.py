@@ -147,7 +147,11 @@ def _fragment_loop(
                 d = -d
             ph = h if h > buf_h else buf_h
             r = d / ph
-            if r > max_rate or h > max_gap_h:
+            # h < 0 can only happen with carried streaming state and an
+            # out-of-order (but in-watermark) record — same 0<=hours gate as
+            # config.pair_score; without it h**0.5 goes complex and the
+            # comparison below raises TypeError
+            if h < 0.0 or r > max_rate or h > max_gap_h:
                 continue
             s = (1.0 - r / max_rate) / (1.0 + h**h_exp)
             if s > best_score:

@@ -337,12 +337,41 @@ FROM ranked WHERE rank <= 5
 
 LSH_BITS = 8  # bucket bits from sign comparisons emb[j] vs emb[j+8]
 
+# scale-aware width (VERDICT r02 ask #5): fixed 8 bits means per-bucket
+# population grows ~N/256 and the within-bucket pair join degrades to
+# O(N^2/256). bits = clamp(floor(log2(N / TARGET_POP)), 8, 24) keeps the
+# expected bucket population ~TARGET_POP..2*TARGET_POP at ANY corpus size
+# (2^24 buckets caps memory for the bucket id itself). The IDENTICAL
+# derivation runs in the DuckDB oracle (count(*) subquery), so engine and
+# oracle always agree on the width.
+LSH_TARGET_POP = 16
+LSH_LO, LSH_HI = 8, 24
 
-def _bucket_expr_spark():
+
+def lsh_bits_for(n: int) -> int:
+    import math
+
+    if n <= 0:
+        return LSH_LO
+    raw = int(math.floor(math.log2(n / float(LSH_TARGET_POP))))
+    return max(LSH_LO, min(LSH_HI, raw))
+
+
+# SQL twin of lsh_bits_for over the embeddings view
+_D_BITS = (
+    f"SELECT greatest({LSH_LO}, least({LSH_HI}, "
+    f"CAST(floor(log2(count(*) / {LSH_TARGET_POP}.0)) AS INT))) AS bits "
+    f"FROM embeddings"
+)
+
+
+def _bucket_expr_spark(bits: int = LSH_BITS):
+    """Sign-comparison hyperplane bucket: bit j set iff emb[j] > emb[(j+8)%64]
+    (1-based). For bits=8 this is exactly the r1/r2 pairing."""
     terms = [
         f"(case when element_at(embedding, {j + 1}) > "
-        f"element_at(embedding, {j + 9}) then {1 << j} else 0 end)"
-        for j in range(LSH_BITS)
+        f"element_at(embedding, {(j + 8) % 64 + 1}) then {1 << j} else 0 end)"
+        for j in range(bits)
     ]
     return F.expr(" + ".join(terms)).cast("int")
 
@@ -350,6 +379,14 @@ def _bucket_expr_spark():
 _D_BUCKET = " + ".join(
     f"(CASE WHEN embedding[{j + 1}] > embedding[{j + 9}] THEN {1 << j} ELSE 0 END)"
     for j in range(LSH_BITS)
+)
+
+# dynamic-width DuckDB bucket over a row of `embeddings` (bits from nb CTE)
+_D_BUCKET_DYN = (
+    "CAST(list_sum(list_transform(range(0, (SELECT bits FROM nb)), "
+    "j -> CASE WHEN embedding[CAST(j + 1 AS INT)] > "
+    "embedding[CAST((j + 8) % 64 + 1 AS INT)] "
+    "THEN (1 << j) ELSE 0 END)) AS INT)"
 )
 
 
@@ -575,52 +612,57 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .withColumn("w", F.expr(WORDS_EXPR))
         .select(
-            "doc_id",
-            (F.col("doc_id") % N_SHARDS).alias("shard"),
-            F.size("w").alias("n_tok"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id") % N_SHARDS).cast("long").alias("shard"),
+            F.size("w").cast("long").alias("n_tok"),
         )
     )
     win = Window.partitionBy("shard").orderBy("doc_id")
+    # every numeric output is explicitly BIGINT on BOTH engines — integer
+    # division only (no float floor), so the driver's value hash sees the
+    # identical representation
     d = d.withColumn(
-        "start_off", F.sum("n_tok").over(win) - F.col("n_tok")
-    ).withColumn("pack_id", F.floor(F.col("start_off") / PACK_LEN))
+        "start_off", (F.sum("n_tok").over(win) - F.col("n_tok")).cast("long")
+    ).withColumn("pack_id", F.expr(f"start_off div {PACK_LEN}"))
     return d.groupBy("shard", "pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("n_tok_started"),
-        F.min("doc_id").alias("first_doc_id"),
-        F.max("doc_id").alias("last_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tok_started"),
+        F.min("doc_id").cast("long").alias("first_doc_id"),
+        F.max("doc_id").cast("long").alias("last_doc_id"),
         # docs whose tokens straddle into the next pack (split points)
         F.sum(
             (
-                F.floor((F.col("start_off") + F.col("n_tok") - 1) / PACK_LEN)
+                F.expr(f"(start_off + n_tok - 1) div {PACK_LEN}")
                 > F.col("pack_id")
             ).cast("long")
-        ).alias("n_straddling"),
+        ).cast("long").alias("n_straddling"),
     )
 
 
 O_PACK_SEQUENCES = f"""
 WITH toks AS (
-    SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(doc_id % {N_SHARDS} AS BIGINT) AS shard,
            CAST(len({D_WORDS}) AS BIGINT) AS n_tok
     FROM documents
 ),
 off AS (
     SELECT *,
-           sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                            ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+           CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok
+                AS BIGINT) AS start_off
     FROM toks
 )
-SELECT shard, start_off // {PACK_LEN} AS pack_id,
+SELECT shard, CAST(start_off // {PACK_LEN} AS BIGINT) AS pack_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tok_started,
-       min(doc_id) AS first_doc_id,
-       max(doc_id) AS last_doc_id,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS last_doc_id,
        CAST(sum(CASE WHEN (start_off + n_tok - 1) // {PACK_LEN}
                           > start_off // {PACK_LEN}
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
 FROM off
-GROUP BY shard, start_off // {PACK_LEN}
+GROUP BY shard, CAST(start_off // {PACK_LEN} AS BIGINT)
 """
 
 

@@ -52,7 +52,7 @@ def _pair_score_sql(t_us: str, nt: str, f_last_us: str, f_last_nt: str,
     h = f"(CAST({t_us} - {f_last_us} AS DOUBLE) / 3600000000.0)"
     r = f"(abs({nt} - {f_last_nt}) / greatest({h}, CAST({p.buffer_hours} AS DOUBLE)))"
     return (
-        f"CASE WHEN {h} > CAST({p.max_gap_hours} AS DOUBLE) "
+        f"CASE WHEN {h} < 0.0 OR {h} > CAST({p.max_gap_hours} AS DOUBLE) "
         f"       OR {r} >= CAST({p.max_dtok_rate} AS DOUBLE) THEN 0.0 "
         f"     ELSE (1.0 - {r} / CAST({p.max_dtok_rate} AS DOUBLE)) "
         f"          / (1.0 + {h} ** CAST({p.hours_exp} AS DOUBLE)) END"

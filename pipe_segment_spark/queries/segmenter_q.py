@@ -191,12 +191,21 @@ def q_invalid_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(type, field) bounds, fixed-point-compared bounds, sentinels, the
     IMO zfill+range rule, plus the group rule (both payload fields NULL
     together — reference VMS lat=lon=0)."""
-    from pipe_segment_spark.functions.invalid_values import compile_spark_mask
+    from pipe_segment_spark.functions.invalid_values import (
+        compile_spark_mask,
+        group_rule_spark,
+    )
 
     df = token_stream(spark, sf_dir)
     src = F.col("source")
     rate = F.col("n_tok") / F.size("tokens")
     imo = F.substring("msgid", 2, 100)
+    # fixed-position field pair (lat/lon analog): /1024 is an exact binary
+    # scale, so both engines round the identical double
+    # try_element_at: single-token rows have no tokens[2] (NULL, like the
+    # DuckDB subscript), and ANSI mode would make element_at throw
+    tok0 = F.try_element_at("tokens", F.lit(1)) / F.lit(1024.0)
+    tok1 = F.try_element_at("tokens", F.lit(2)) / F.lit(1024.0)
     df = df.select(
         "doc_id",
         "source",
@@ -208,8 +217,18 @@ def q_invalid_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ident_valid"
         ),
         compile_spark_mask("imo", imo, src).alias("imo_valid"),
+        compile_spark_mask("dest", F.col("dest_value"), src).alias(
+            "dest_valid"
+        ),
+        compile_spark_mask("tok0", tok0, src).alias("tok0_valid"),
+        compile_spark_mask("tok1", tok1, src).alias("tok1_valid"),
+        tok0.alias("__tok0_raw"),
+        tok1.alias("__tok1_raw"),
     )
-    # group rule: single-token rows with n_tok == 1 null out both payload
+    # group rule 1 (table-driven, reference VMS lat=lon=0): for
+    # GROUP_RULE_TYPES, tok0 and tok1 both rounding to 0 null BOTH as a unit
+    grp_pos = group_rule_spark(src, F.col("__tok0_raw"), F.col("__tok1_raw"))
+    # group rule 2: single-token rows with n_tok == 1 null out both payload
     # fields together
     grp = (F.col("n_tok_valid") == 1) & (F.size("tokens") == 1)
     return df.select(
@@ -222,6 +241,13 @@ def q_invalid_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_valid",
         "ident_valid",
         "imo_valid",
+        "dest_valid",
+        F.when(grp_pos, F.lit(None)).otherwise(F.col("tok0_valid")).alias(
+            "tok0_valid"
+        ),
+        F.when(grp_pos, F.lit(None)).otherwise(F.col("tok1_valid")).alias(
+            "tok1_valid"
+        ),
         F.when(grp, F.lit(None))
         .otherwise(F.array_join("tokens", ","))
         .alias("tokens_s"),
@@ -229,12 +255,21 @@ def q_invalid_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_invalid_values() -> str:
-    from pipe_segment_spark.functions.invalid_values import compile_sql_mask
+    from pipe_segment_spark.functions.invalid_values import (
+        compile_sql_mask,
+        group_rule_sql,
+    )
 
     n_tok = compile_sql_mask("n_tok", "n_tok")
     rate = compile_sql_mask("rate", "(CAST(n_tok AS DOUBLE) / len(tokens))")
     ident = compile_sql_mask("ident", "ident_value")
     imo = compile_sql_mask("imo", "substr(msgid, 2)")
+    dest = compile_sql_mask("dest", "dest_value")
+    t0_raw = "(CAST(tokens[1] AS DOUBLE) / 1024.0)"
+    t1_raw = "(CAST(tokens[2] AS DOUBLE) / 1024.0)"
+    tok0 = compile_sql_mask("tok0", t0_raw)
+    tok1 = compile_sql_mask("tok1", t1_raw)
+    grp_pos = group_rule_sql("source", t0_raw, t1_raw)
     return f"""
 WITH {TOKEN_STREAM_CTE},
 masked AS (
@@ -242,13 +277,17 @@ masked AS (
            {n_tok} AS n_tok_valid,
            {rate} AS rate_valid,
            {ident} AS ident_valid,
-           {imo} AS imo_valid
+           {imo} AS imo_valid,
+           {dest} AS dest_valid,
+           CASE WHEN {grp_pos} THEN NULL ELSE {tok0} END AS tok0_valid,
+           CASE WHEN {grp_pos} THEN NULL ELSE {tok1} END AS tok1_valid
     FROM token_stream
 )
 SELECT doc_id, source, msgid,
        CASE WHEN n_tok_valid = 1 AND len(tokens) = 1 THEN NULL
             ELSE n_tok_valid END AS n_tok_valid,
-       rate_valid, ident_valid, imo_valid,
+       rate_valid, ident_valid, imo_valid, dest_valid,
+       tok0_valid, tok1_valid,
        CASE WHEN n_tok_valid = 1 AND len(tokens) = 1 THEN NULL
             ELSE array_to_string(tokens, ',') END AS tokens_s
 FROM masked

@@ -271,8 +271,18 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                             }
                             by_id[fid] = f
                             pending.append(f)
-                        f["last_us"] = int(row["last_us"])
-                        f["last_n_tok"] = int(row["last_nt"])
+                        # min/max-merge against stored boundaries: a
+                        # late-but-in-watermark record that precedes the
+                        # fragment's current first record must move first_us
+                        # down (and must NOT regress last_us) so the pending
+                        # summary equals what a one-shot sorted run would
+                        # emit for the same attached-record set
+                        if int(row["first_us"]) < f["first_us"]:
+                            f["first_us"] = int(row["first_us"])
+                            f["first_n_tok"] = int(row["first_nt"])
+                        if int(row["last_us"]) > f["last_us"]:
+                            f["last_us"] = int(row["last_us"])
+                            f["last_n_tok"] = int(row["last_nt"])
                         f["msg_count"] += int(row["cnt"])
 
             # close days that the watermark has fully passed

@@ -41,3 +41,36 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_gate_window_holds_composites():
+    """The driver's hard gate truncates at 50 registered queries
+    (VERDICT r02 finding #1): every end-to-end composite, the full engine
+    surface, and all LLM-data ops must sit INSIDE the first 50."""
+    from pipe_segment_spark.queries import QUERIES, ORACLES
+
+    window = list(QUERIES)[:50]
+    must_be_gated = [
+        "segment_identity_daily",
+        "segment_vessel_daily",
+        "segment_vessel_daily_7d",
+        "segment_info",
+        "segment_vessel",
+        "vessel_info",
+        "satellite_offsets_full",
+        "message_stats",
+        "whitelist_projection",
+        "haversine_drift",
+        "safe_divide_least",
+        "segmenter_full_segments",
+        "segmenter_streaming",
+        "segmenter_incremental",
+        "pack_sequences",
+        "contamination_check",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+    ]
+    missing = [n for n in must_be_gated if n not in window]
+    assert not missing, f"fell out of the 50-query gate window: {missing}"
+    # ORACLES iterates in the same pinned order as QUERIES
+    assert list(ORACLES) == [n for n in QUERIES if n in ORACLES]

@@ -49,13 +49,43 @@ CASES = [
     ("click", "ident", "name_0", True),
     ("click", "ident", "name_1", False),
     ("signup", "ident", "name_0", True),
-    ("view", "ident", "name_0", False),  # no ident rule for view
+    # view's ident rule is StrLenBounds(2, 6): len('name_0') == 6 >= hi
+    ("view", "ident", "name_0", True),
+    ("view", "ident", "nm_1", False),      # len 4 in [2, 6)
+    ("view", "ident", "x", True),          # len 1 < lo
     # IMO zfill+range rule (reference AIS.5 bounds verbatim)
     ("error", "imo", "0", True),           # zfill '0000000000' < min
     ("error", "imo", "1", False),          # '0000000001' == min
     ("error", "imo", "1073741823", False),  # max valid
     ("error", "imo", "1073741824", True),  # == upper bound
     ("click", "imo", "0", False),          # no imo rule for click
+    ("purchase", "imo", "0", True),        # purchase has the imo rule too
+    ("purchase", "imo", "500", False),
+    # dest sentinels / length rule
+    ("click", "dest", "dst_0", True),
+    ("click", "dest", "dst_1", False),
+    ("signup", "dest", "dst_0", True),
+    ("error", "dest", "d", True),          # StrLenBounds(2,16): len 1 < lo
+    ("error", "dest", "dst_2", False),
+    ("view", "dest", "dst_0", False),      # no dest rule for view
+    # fixed-position pair (lat/lon analog), per-source precision variants
+    ("click", "tok0", 0.4994, True),   # round(.,3)=0.499 < 0.5
+    ("click", "tok0", 0.4996, False),  # round(.,3)=0.5
+    ("click", "tok0", 45.0, True),     # >= hi
+    ("click", "tok1", 41.9994, False),  # round(.,3)=41.999 < 42
+    ("click", "tok1", 41.9996, True),   # round(.,3)=42.0 >= 42
+    ("view", "tok0", 0.494, True),     # round(.,2)=0.49 < 0.5
+    ("view", "tok0", 0.496, False),    # round(.,2)=0.5
+    ("error", "tok0", 0.4, True),      # round(.,0)=0 < 0.5
+    ("error", "tok0", 0.6, False),     # round(.,0)=1
+    ("error", "tok0", 44.4, False),    # round(.,0)=44 < 45
+    ("error", "tok0", 44.6, True),     # round(.,0)=45 >= 45
+    ("purchase", "tok0", 0.44, True),  # round(.,1)=0.4 < 0.5
+    ("purchase", "tok0", 0.46, False),  # round(.,1)=0.5
+    ("purchase", "tok1", 42.01, True),
+    ("signup", "tok0", 0.49994, True),   # round(.,4)=0.4999 < 0.5
+    ("signup", "tok0", 0.49996, False),  # round(.,4)=0.5
+    ("signup", "tok1", 0.0, False),      # no tok1 rule for signup
 ]
 
 
@@ -106,3 +136,49 @@ def test_group_rule(spark):
     )
     assert t_null_n_not == 0
     assert one_null >= 0
+
+
+def test_rule_table_density_r3():
+    """~2x the r2 rule density (VERDICT r02 ask #6): >= 22 instances over
+    >= 6 rule kinds, fixed-position precision variants across sources."""
+    from pipe_segment_spark.functions.invalid_values import FixedBounds
+
+    instances = [r for rules in RULES.values() for r in rules.values()]
+    assert len(instances) >= 22
+    assert len({type(r).__name__ for r in instances}) >= 6
+    precisions = {
+        r.precision
+        for rules in RULES.values()
+        for f, r in rules.items()
+        if f in ("tok0", "tok1") and isinstance(r, FixedBounds)
+    }
+    assert len(precisions) >= 4  # per-source precision variants
+
+
+def test_group_rule_table_driven(spark):
+    """The (tok0, tok1) pair nulls TOGETHER for GROUP_RULE_TYPES when both
+    round to 0 (reference VMS lat=lon=0 group rule), and never fires for
+    types outside the table."""
+    from pipe_segment_spark.functions.invalid_values import (
+        GROUP_RULE_TYPES,
+        group_rule_spark,
+    )
+
+    rows = [
+        ("click", 0.3, 0.2),     # both round to 0 -> fires (in table)
+        ("purchase", 0.49, 0.0),  # fires
+        ("view", 0.3, 0.2),      # view NOT in GROUP_RULE_TYPES -> no fire
+        ("click", 0.3, 0.6),     # tok1 rounds to 1 -> no fire
+        ("click", 1.3, 0.2),     # tok0 rounds to 1 -> no fire
+    ]
+    df = spark.createDataFrame(rows, "source string, t0 double, t1 double")
+    got = [
+        bool(r["g"])
+        for r in df.select(
+            group_rule_spark(
+                F.col("source"), F.col("t0"), F.col("t1")
+            ).alias("g")
+        ).collect()
+    ]
+    assert got == [True, True, False, False, False]
+    assert set(GROUP_RULE_TYPES) < set(RULES)

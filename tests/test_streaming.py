@@ -270,3 +270,83 @@ def test_watermark_drops_late_data(spark, tmp_path):
     msgids = {r["msgid"] for r in result.where(F.col("kind") == "tagged").collect()}
     assert "late0" not in msgids
     assert {f"m{i}{h}" for i in range(3) for h in (1, 2)} <= msgids
+
+
+def test_out_of_order_within_day_record_no_crash(spark, tmp_path):
+    """A later microbatch delivering an in-watermark record whose timestamp
+    PRECEDES an open fragment's last_us must not crash the scoring loop
+    (h < 0 -> h**0.5 went complex -> TypeError before the 0<=hours gate,
+    ADVICE r02 high). The record scores 0 against every fragment it
+    precedes and starts a new fragment — the documented low-latency-mode
+    semantics for intra-day disorder across microbatches."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def rec(day, hour, nt, mid):
+        return ("d1", "s", base + dt.timedelta(days=day, hours=hour),
+                [1, 2], nt, mid, "POS", None)
+
+    feed0 = [rec(0, 10, 10, "a0"), rec(0, 12, 12, "a1")]
+    # in-watermark, same day, but BEFORE the open fragment's last record
+    late = [rec(0, 11, 11, "a_mid")]
+    closer = [rec(5, 10, 30, "c0")]
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(INPUT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        out = stream_segment(stream, PARAMS, watermark="3 days")
+        q = (
+            out.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        assert q.exception() is None
+
+    for i, rows in enumerate([feed0, late, closer]):
+        spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"feed_{i}")
+        )
+        run()
+
+    got = read_sink(spark, out_dir)
+    tagged = {
+        r["msgid"]: r["frag_id"]
+        for r in got.where(F.col("kind") == "tagged").collect()
+    }
+    assert tagged["a_mid"] is not None  # processed, not crashed/dropped
+    assert tagged["a0"] == tagged["a1"]  # original fragment intact
+    assert tagged["a_mid"] != tagged["a0"]  # h<0 -> new fragment
+
+
+def test_fragment_loop_carried_state_earlier_timestamp():
+    """Kernel unit: carried open-fragment state + a record earlier than the
+    fragment's last_us must score 0 (skip), never raise (complex h**0.5)."""
+    from pipe_segment_spark.operators.kernel import OpenFragState, _fragment_loop
+    from pipe_segment_spark.config import SegmenterParams
+
+    p = SegmenterParams()
+    hour_us = 3_600_000_000
+    carried = OpenFragState(1, 10 * hour_us, 10, "f1")
+    carried.last_us = 12 * hour_us
+    carried.last_n_tok = 12
+    ids, frags, nk = _fragment_loop(
+        "d1",
+        [11 * hour_us],
+        [11.0],
+        [False],
+        [False],
+        [carried],
+        2,
+        p,
+    )
+    assert ids[0] is not None and ids[0] != "f1"  # new fragment, no crash
