@@ -390,6 +390,102 @@ _D_BUCKET_DYN = (
 )
 
 
+def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN top-k RETRIEVAL (VERDICT r02 ask #4 — the r2
+    ``ann_lsh_buckets`` stopped at bucket histograms): each query vector
+    probes its own LSH bucket plus every 1-bit-flip neighbor bucket
+    (multiprobe for recall), candidates join on bucket equality (shuffle
+    equi-join at ~TARGET_POP rows/bucket — never all-pairs), exact cosine
+    re-ranks, windowed row_number keeps top-5. Output shape matches
+    ``ann_cosine_topk`` so recall is directly measurable on the same
+    fixtures (tests/test_corpus_recall.py records it in PLANS.md)."""
+    e = _embs(spark, sf_dir)
+    bits = lsh_bits_for(e.count())
+    e = e.withColumn("bucket", _bucket_expr_spark(bits))
+    q = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    # multiprobe: own bucket + all 1-bit and 2-bit flips (a candidate lives
+    # in exactly one bucket and probe buckets are distinct, so no pair dedup
+    # needed). Probe count is 1 + bits + bits*(bits-1)/2 — the recall/cost
+    # dial: ~2*TARGET_POP*bits^2/2 candidates per query at any corpus size.
+    flips = [1 << j for j in range(bits)] + [
+        (1 << j) | (1 << k) for j in range(bits) for k in range(j + 1, bits)
+    ]
+    probe_arr = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in flips],
+    )
+    probes = q.select("q_id", "q_emb", F.explode(probe_arr).alias("pb"))
+    c = e.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    dot = F.expr(COS_DOT.format(a="q_emb", b="c_emb"))
+    qq = F.expr(COS_DOT.format(a="q_emb", b="q_emb"))
+    cc = F.expr(COS_DOT.format(a="c_emb", b="c_emb"))
+    pairs = (
+        probes.join(c, probes.pb == c.bucket)
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(dot / F.sqrt(qq * cc), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "c_id", "c_label", "cos", "rank")
+    )
+
+
+O_ANN_BUCKETED_TOPK = f"""
+WITH nb AS ({_D_BITS}),
+e AS (
+    SELECT vec_id, label, embedding, {_D_BUCKET_DYN} AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+    FROM e WHERE vec_id % 97 = 0
+),
+flips AS (
+    -- bits captured as a plain column (DuckDB forbids subqueries inside
+    -- lambda bodies); k>j pairs via CASE NULL + list_filter
+    SELECT list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(0, bits), j -> 1 << j)
+        || list_filter(
+             flatten(list_transform(range(0, bits),
+               j -> list_transform(range(0, bits),
+                 k -> CASE WHEN k > j THEN (1 << j) | (1 << k) END))),
+             m -> m IS NOT NULL)) AS masks
+    FROM nb
+),
+probes AS (
+    SELECT q_id, q_emb,
+           CAST(xor(CAST(q_bucket AS BIGINT), m) AS INT) AS pb
+    FROM q, (SELECT unnest(masks) AS m FROM flips)
+),
+pairs AS (
+    SELECT p.q_id, c.vec_id AS c_id, c.label AS c_label,
+           round({D_DOT.format(a="p.q_emb", b="c.embedding")}
+                 / sqrt({D_DOT.format(a="p.q_emb", b="p.q_emb")}
+                        * {D_DOT.format(a="c.embedding", b="c.embedding")}),
+                 6) AS cos
+    FROM probes p JOIN e c ON p.pb = c.bucket AND p.q_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, c_id ASC) AS rank
+    FROM pairs
+)
+SELECT q_id, c_id, c_label, cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: deterministic hyperplane-sign bucketing; per-bucket
     population stats (the bucket-local search replaces the cross join at
@@ -413,8 +509,14 @@ FROM embeddings GROUP BY 1
 
 def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: candidate pairs from the same LSH bucket,
-    verified by exact cosine >= 0.2 (bucketing bounds the pair blowup)."""
-    e = _embs(spark, sf_dir).withColumn("bucket", _bucket_expr_spark())
+    verified by exact cosine >= 0.2 (bucketing bounds the pair blowup).
+    Bucket width is SCALE-AWARE: bits = lsh_bits_for(count), so per-bucket
+    population stays ~LSH_TARGET_POP at any corpus size (the r2 fixed-8-bit
+    version degraded to O(N^2/256) pair joins at 100 TB). The oracle derives
+    the identical width from count(*)."""
+    e = _embs(spark, sf_dir)
+    bits = lsh_bits_for(e.count())
+    e = e.withColumn("bucket", _bucket_expr_spark(bits))
     a = e.select(
         F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
     )
@@ -434,8 +536,9 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_DEDUP_EMBEDDING_NEAR = f"""
-WITH e AS (
-    SELECT vec_id, embedding, CAST({_D_BUCKET} AS INT) AS bucket
+WITH nb AS ({_D_BITS}),
+e AS (
+    SELECT vec_id, embedding, {_D_BUCKET_DYN} AS bucket
     FROM embeddings
 )
 SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -728,6 +831,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_bucketed_topk": q_ann_bucketed_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "dedup_embedding_near": q_dedup_embedding_near,
     "text_quality": q_text_quality,
@@ -744,6 +848,7 @@ ORACLES = {
     "dedup_minhash_lsh": O_DEDUP_MINHASH_LSH,
     "dedup_simhash": O_DEDUP_SIMHASH,
     "ann_cosine_topk": O_ANN_COSINE_TOPK,
+    "ann_bucketed_topk": O_ANN_BUCKETED_TOPK,
     "ann_lsh_buckets": O_ANN_LSH_BUCKETS,
     "dedup_embedding_near": O_DEDUP_EMBEDDING_NEAR,
     "text_quality": O_TEXT_QUALITY,

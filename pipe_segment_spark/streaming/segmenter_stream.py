@@ -11,12 +11,18 @@ Per key (doc_id), GroupState carries:
   - open segments (seg_id -> last fragment boundary) for cross-day matching
   - next fragment counter per day
 
-Emission contract (append mode):
-  - tagged records emit immediately (kind='tagged', frag_id assigned)
-  - when the watermark passes the end of a day (+ match window), that day's
-    fragments run the greedy matcher and segmap rows emit (kind='segmap') —
-    exactly the reference's day-by-day merge order, so results are
-    byte-identical to the batch engine on the same input
+Emission contract (append mode), two operating modes:
+  - ``low_latency`` (default): tagged records emit immediately
+    (kind='tagged', frag_id assigned in the arriving microbatch); when the
+    watermark passes the end of a day, that day's fragments run the greedy
+    matcher and segmap rows emit (kind='segmap'). Byte-identical to the
+    batch engine for per-day in-order arrival; an in-watermark record that
+    arrives AFTER later same-day records scores 0 against fragments it
+    precedes (0<=hours gate) and starts a new fragment.
+  - ``day_close``: raw records buffer per (key, day); the whole day replays
+    the batch kernel (6-key sort -> fragmenter -> greedy merge) when the
+    watermark closes it. Byte-identical to the batch engine under ARBITRARY
+    intra-day disorder, at day-close emission latency.
   - late records older than the watermark are dropped by Spark upstream
     (reference analog: cross-day late data starts a new segment / next run)
 
@@ -311,17 +317,228 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
     return fn
 
 
+def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
+    """Day-buffered variant: per (doc_id, day) the RAW records are buffered
+    in keyed state and the whole day runs through the batch kernel (sort ->
+    fragment -> summaries -> greedy merge) when the watermark closes the
+    day. Output (tagged + segmap) is byte-identical to the one-shot batch
+    engine under ARBITRARY intra-day disorder across microbatches — the
+    reference's daily-scheduled batch semantics
+    (pipeline.py:231-242 runs whole days at once over the 19-key sort,
+    transform/fragment.py:115-140). Trade-off vs the low-latency mode:
+    tagged rows emit at day close (not per microbatch) and state is
+    O(records per open day per key) instead of O(open fragments)."""
+
+    def close_buffered_days(doc_id, buf, open_segs, up_to_day_us):
+        import numpy as np
+
+        rows_out = []
+        for day_us in sorted(d for d in list(buf) if d < up_to_day_us):
+            recs = buf.pop(day_us)
+            # full 6-key sort identity with the batch engine: source and
+            # ident_value are tie keys in sort_group
+            pdf = pd.DataFrame(
+                recs,
+                columns=[
+                    "t_us",
+                    "n_tok",
+                    "msgid",
+                    "rec_type",
+                    "has_payload",
+                    "source",
+                    "ident_value",
+                ],
+            )
+            pdf["doc_id"] = doc_id
+            pdf["timestamp"] = pd.to_datetime(pdf["t_us"], unit="us")
+            pdf = sort_group(pdf)
+            ts_us = pdf["t_us"].to_numpy("int64")
+            n_tok = pdf["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
+            noise = ~pdf["has_payload"].to_numpy(dtype=bool) | np.isnan(n_tok)
+            is_ident = pdf["rec_type"].to_numpy() == "IDENT"
+            from pipe_segment_spark.operators.kernel import _fragment_loop
+
+            frag_ids, _frags, _nk = _fragment_loop(
+                doc_id, ts_us, n_tok, noise, is_ident, [], 1, params
+            )
+            n = len(pdf)
+            for i in range(n):
+                rows_out.append(
+                    {
+                        "kind": "tagged",
+                        "doc_id": doc_id,
+                        "timestamp": pdf["timestamp"].iloc[i],
+                        "msgid": pdf["msgid"].iloc[i],
+                        "n_tok": None
+                        if pd.isna(pdf["n_tok"].iloc[i])
+                        else int(pdf["n_tok"].iloc[i]),
+                        "frag_id": frag_ids[i],
+                        "seg_id": None,
+                        "date": None,
+                        "msg_count": None,
+                        "first_us": None,
+                        "last_us": None,
+                    }
+                )
+            # fragment summaries over POS rows (sorted -> first/last == min/max)
+            fmask = [
+                frag_ids[i] is not None and pdf["rec_type"].iloc[i] != "IDENT"
+                for i in range(n)
+            ]
+            if not any(fmask):
+                continue
+            fr = pd.DataFrame(
+                {
+                    "frag_id": [frag_ids[i] for i in range(n) if fmask[i]],
+                    "t": ts_us[fmask],
+                    "nt": pdf["n_tok"].to_numpy()[fmask].astype("int64"),
+                }
+            )
+            agg = fr.groupby("frag_id", sort=True).agg(
+                first_us=("t", "first"),
+                last_us=("t", "last"),
+                first_n_tok=("nt", "first"),
+                last_n_tok=("nt", "last"),
+                msg_count=("t", "size"),
+            )
+            day_frags = agg.reset_index()
+            day_frags["day_us"] = day_us
+            day_frags["date"] = pd.to_datetime(
+                day_frags["day_us"], unit="us"
+            ).dt.date
+            segmap, open_segs = greedy_merge(doc_id, day_frags, params, open_segs)
+            by_frag = day_frags.set_index("frag_id")
+            for _, r in segmap.iterrows():
+                f = by_frag.loc[r["frag_id"]]
+                rows_out.append(
+                    {
+                        "kind": "segmap",
+                        "doc_id": doc_id,
+                        "timestamp": pd.Timestamp(day_us, unit="us"),
+                        "msgid": None,
+                        "n_tok": None,
+                        "frag_id": r["frag_id"],
+                        "seg_id": r["seg_id"],
+                        "date": str(r["date"]),
+                        "msg_count": int(f["msg_count"]),
+                        "first_us": int(f["first_us"]),
+                        "last_us": int(f["last_us"]),
+                    }
+                )
+        return rows_out, open_segs
+
+    def fn(key, pdf_iter, state: GroupState):
+        doc_id = key[0]
+        if state.exists:
+            st = json.loads(state.get[0])
+            buf = {int(k): v for k, v in st["buf"].items()}
+            open_segs = {k: tuple(v) for k, v in st["os"].items()}
+        else:
+            buf, open_segs = {}, {}
+
+        rows_out = []
+        if state.hasTimedOut:
+            out, open_segs = close_buffered_days(
+                doc_id, buf, open_segs, float("inf")
+            )
+            rows_out.extend(out)
+        else:
+            batch = pd.concat(list(pdf_iter), ignore_index=True)
+            # SEED rows: historical open-segment bootstrap, same contract as
+            # the low-latency mode (reference ReadFragments)
+            if len(batch) and (batch["rec_type"] == "SEED").any():
+                seeds = batch[batch["rec_type"] == "SEED"]
+                batch = batch[batch["rec_type"] != "SEED"].reset_index(drop=True)
+                for _, s in seeds.iterrows():
+                    last_us = int(
+                        pd.Timestamp(s["timestamp"])
+                        .to_datetime64()
+                        .astype("datetime64[us]")
+                        .astype("int64")
+                    )
+                    open_segs[s["ident_value"]] = (last_us, int(s["n_tok"]))
+            if len(batch):
+                ts_us_all = (
+                    batch["timestamp"].to_numpy("datetime64[us]").astype("int64")
+                )
+                day_us_all = (ts_us_all // US_PER_DAY) * US_PER_DAY
+                has_payload = batch["tokens"].notna().to_numpy(dtype=bool)
+                nt = batch["n_tok"]
+                iv = (
+                    batch["ident_value"]
+                    if "ident_value" in batch.columns
+                    else pd.Series([None] * len(batch))
+                )
+                for i in range(len(batch)):
+                    buf.setdefault(int(day_us_all[i]), []).append(
+                        [
+                            int(ts_us_all[i]),
+                            None if pd.isna(nt.iloc[i]) else int(nt.iloc[i]),
+                            batch["msgid"].iloc[i],
+                            batch["rec_type"].iloc[i],
+                            bool(has_payload[i]),
+                            batch["source"].iloc[i],
+                            None if pd.isna(iv.iloc[i]) else iv.iloc[i],
+                        ]
+                    )
+            wm_ms = state.getCurrentWatermarkMs()
+            if wm_ms > 0:
+                closed_day_us = (wm_ms * 1000 // US_PER_DAY) * US_PER_DAY
+                out, open_segs = close_buffered_days(
+                    doc_id, buf, open_segs, closed_day_us
+                )
+                rows_out.extend(out)
+
+        state.update(
+            (
+                json.dumps(
+                    {
+                        "buf": {str(k): v for k, v in buf.items()},
+                        "os": open_segs,
+                    }
+                ),
+            )
+        )
+        if buf:
+            wm_ms = state.getCurrentWatermarkMs()
+            next_close = min(buf) + US_PER_DAY
+            state.setTimeoutTimestamp(max(next_close // 1000, wm_ms + 1))
+        if rows_out:
+            yield pd.DataFrame(rows_out)
+
+    return fn
+
+
 def stream_segment(
     records_stream: DataFrame,
     params: SegmenterParams = DEFAULT_PARAMS,
     watermark: str = "0 seconds",
+    mode: str = "low_latency",
 ) -> DataFrame:
-    """records stream -> union-typed output (tagged records + segmap rows)."""
+    """records stream -> union-typed output (tagged records + segmap rows).
+
+    ``mode``:
+      - ``low_latency`` (default): tagged rows emit in the arriving
+        microbatch; batch/stream byte-identity guaranteed for per-day
+        in-order arrival (intra-day disorder across microbatches starts new
+        fragments instead of crashing — see the 0<=hours kernel gate).
+      - ``day_close``: raw records buffer per (key, day) and the whole day
+        replays the batch kernel when the watermark closes it —
+        byte-identical to the one-shot batch engine under ARBITRARY
+        intra-day disorder, at the cost of day-close emission latency.
+    """
+    if mode not in ("low_latency", "day_close"):
+        raise ValueError(f"unknown stream mode {mode!r}")
+    fn = (
+        make_stateful_segmenter(params)
+        if mode == "low_latency"
+        else make_day_close_segmenter(params)
+    )
     return (
         records_stream.withWatermark("timestamp", watermark)
         .groupBy("doc_id")
         .applyInPandasWithState(
-            make_stateful_segmenter(params),
+            fn,
             OUTPUT_SCHEMA,
             STATE_SCHEMA,
             "append",

@@ -1,0 +1,88 @@
+"""ANN scale-path validation: bucketed top-k recall vs the brute-force
+baseline on the same fixtures, and the scale-aware LSH width at >= 12 bits
+on a larger synthetic embedding table (VERDICT r02 asks #4/#5)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from pipe_segment_spark.queries.corpus_q import (
+    LSH_HI,
+    LSH_LO,
+    lsh_bits_for,
+    q_ann_bucketed_topk,
+    q_ann_cosine_topk,
+    q_dedup_embedding_near,
+    O_DEDUP_EMBEDDING_NEAR,
+)
+from tests.conftest import SF_DIR
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["c_id"])
+    return out
+
+
+def test_bucketed_topk_recall_vs_brute_force(spark):
+    """Multiprobe bucketed retrieval must recover a meaningful share of the
+    exact top-5 on the same fixture (recorded in PLANS.md). It is an ANN —
+    100% is not expected; 0 would mean the bucket join is broken."""
+    brute = _topk_sets(q_ann_cosine_topk(spark, SF_DIR))
+    bucketed = _topk_sets(q_ann_bucketed_topk(spark, SF_DIR))
+    assert set(bucketed) == set(brute)  # every query returns something
+    hits = sum(len(bucketed[q] & brute[q]) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    recall = hits / total
+    print(f"bucketed-topk recall@5 = {recall:.3f} ({hits}/{total})")
+    assert recall >= 0.25
+
+
+def test_lsh_bits_formula():
+    assert lsh_bits_for(0) == LSH_LO
+    assert lsh_bits_for(500) == LSH_LO  # gate fixture -> unchanged 8 bits
+    assert lsh_bits_for(2000) == LSH_LO
+    assert lsh_bits_for(16 * (1 << 12)) == 12
+    assert lsh_bits_for(100_000) == 12
+    assert lsh_bits_for(10**9) == LSH_HI  # clamped
+    assert lsh_bits_for(10**12) == LSH_HI
+
+
+def test_embedding_near_dup_at_12_bits(spark, tmp_path):
+    """Engine == oracle on a 70k-vector synthetic table where the derived
+    width is >= 12 bits (the r2 fixed-8-bit scheme would put ~270 vectors
+    per bucket here; the scale-aware width keeps it ~17)."""
+    n = 70_000
+    assert lsh_bits_for(n) >= 12
+    emb_dir = str(tmp_path / "embeddings.parquet")
+    # deterministic centered vectors; ONE parquet file feeds both engines
+    spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7).cast("int").alias("label"),
+        # md5-mixed per (id, dim): modular-arithmetic formulas leave the
+        # sign-comparison bits correlated -> mega-buckets -> quadratic pair
+        # join; a hash gives ~uniform buckets (the scenario the width is for)
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "cast((cast(conv(substring(md5(concat(cast(id as string), ':', "
+            "cast(i as string))), 1, 8), 16, 10) as double) / 4294967295.0 "
+            "- 0.5) as float))"
+        ).alias("embedding"),
+    ).coalesce(4).write.parquet(emb_dir)
+
+    spark_rows = sorted(
+        (r["bucket"], r["id_a"], r["id_b"], r["cos"])
+        for r in q_dedup_embedding_near(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{emb_dir}/*.parquet'"
+    )
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(O_DEDUP_EMBEDDING_NEAR).fetchall()
+    )
+    assert len(spark_rows) == len(duck_rows)
+    assert spark_rows == duck_rows

@@ -350,3 +350,94 @@ def test_fragment_loop_carried_state_earlier_timestamp():
         p,
     )
     assert ids[0] is not None and ids[0] != "f1"  # new fragment, no crash
+
+
+def test_day_close_mode_intra_day_disorder_equals_batch(spark, tmp_path):
+    """day_close mode: the same day's records split ACROSS microbatches in
+    shuffled order must produce output byte-identical to the one-shot batch
+    engine (reference daily-batch semantics: whole days run through the
+    19-key sort at once — VERDICT r02 ask #7)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def rec(day, hour, nt, mid, rt="POS", iv=None):
+        return ("d1", "s", base + dt.timedelta(days=day, hours=hour),
+                [1, 2], nt, mid, rt, iv)
+
+    day0 = [
+        rec(0, 10, 10, "a0"),
+        rec(0, 11, 11, "a1"),
+        rec(0, 12, 12, "a2"),
+        rec(0, 13, 90, "b0"),   # rate jump (d=78 > max rate) -> 2nd fragment
+        rec(0, 14, 91, "b1"),
+        rec(0, 12, 30, "i0", "IDENT", "name_1"),
+    ]
+    day1 = [rec(1, 10, 12, "c0"), rec(1, 11, 13, "c1")]
+    closer = [rec(6, 10, 99, "z0")]
+    all_rows = day0 + day1 + closer
+
+    # intra-day disorder ACROSS installments: later batch carries EARLIER
+    # records of the same day
+    feeds = [
+        [day0[2], day0[4], day1[1]],
+        [day0[0], day0[5], day0[3], day1[0], day0[1]],
+        closer,
+    ]
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    for i, rows in enumerate(feeds):
+        spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"feed_{i}")
+        )
+        stream = (
+            spark.readStream.schema(INPUT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        out = stream_segment(stream, PARAMS, watermark="4 days", mode="day_close")
+        q = (
+            out.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        assert q.exception() is None
+
+    batch = run_batch_pipeline(
+        spark.createDataFrame(all_rows, INPUT_SCHEMA), PARAMS
+    )
+    exp_tagged = {
+        r["msgid"]: r["frag_id"] for r in batch.tagged_records.collect()
+    }
+    exp_segmap = {
+        r["frag_id"]: (r["seg_id"], str(r["date"]))
+        for r in batch.segmap.collect()
+    }
+    got = read_sink(spark, out_dir)
+    got_tagged = {
+        r["msgid"]: r["frag_id"]
+        for r in got.where(F.col("kind") == "tagged").collect()
+    }
+    got_segmap = {
+        r["frag_id"]: (r["seg_id"], r["date"])
+        for r in got.where(F.col("kind") == "segmap").collect()
+    }
+    # closed days (0 and 1) must be byte-identical to the one-shot batch
+    closed_msgids = {r[5] for r in day0 + day1}
+    assert {m: f for m, f in got_tagged.items() if m in closed_msgids} == {
+        m: f for m, f in exp_tagged.items() if m in closed_msgids
+    }
+    closed_frags = {f for f in exp_segmap if exp_segmap[f][1] < "2024-01-06"}
+    assert {f: s for f, s in got_segmap.items() if f in closed_frags} == {
+        f: exp_segmap[f] for f in closed_frags
+    }
+    # the two-fragment day really did fragment (rate jump)
+    assert got_tagged["a0"] == got_tagged["a1"] == got_tagged["a2"]
+    assert got_tagged["b0"] == got_tagged["b1"] != got_tagged["a0"]
+    # IDENT record attaches to the best open fragment, like batch
+    assert got_tagged["i0"] == exp_tagged["i0"]
