@@ -145,6 +145,41 @@ def q_segmenter_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segmenter_streaming_dayclose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day_close streaming mode end-to-end: raw records buffer per
+    (key, day) and each day replays the exact batch kernel at watermark
+    close (segmenter_stream.make_day_close_segmenter). Drained output is
+    byte-identical to the batch engine — same recursive-CTE oracle as
+    segmenter_streaming. Cross-microbatch intra-day disorder equality is
+    additionally pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from pipe_segment_spark.streaming.segmenter_stream import (
+        INPUT_SCHEMA_DDL,
+        stream_segment,
+    )
+    from pipe_segment_spark.streaming.sink import idempotent_batch_writer, read_sink
+
+    tmp = tempfile.mkdtemp(prefix="seg_stream_dc_q_")
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    token_stream(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(in_dir)
+    q = (
+        spark.readStream.schema(INPUT_SCHEMA_DDL)
+        .parquet(in_dir)
+        .transform(
+            lambda df: stream_segment(df, DEFAULT_PARAMS, mode="day_close")
+        )
+        .writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return read_sink(spark, out_dir).select(
+        "kind", "doc_id", "timestamp", "msgid", "frag_id", "seg_id", "date"
+    )
+
+
 def q_segmenter_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference daily scheduling as checkpoint-resume: the stream is fed in
     TWO date-split installments with a full engine stop + restart from
@@ -263,6 +298,7 @@ QUERIES = {
     "segmenter_full_fragments": q_segmenter_full_fragments,
     "segmenter_full_tagged": q_segmenter_full_tagged,
     "segmenter_streaming": q_segmenter_streaming,
+    "segmenter_streaming_dayclose": q_segmenter_streaming_dayclose,
     "segmenter_incremental": q_segmenter_incremental,
     "stream_identity_join": q_stream_identity_join,
     "multimodal_features": q_multimodal_features,
@@ -284,6 +320,7 @@ ORACLES: dict[str, str] = {
     "segmenter_full_fragments": oracle_full_fragments(DEFAULT_PARAMS),
     "segmenter_full_tagged": oracle_full_tagged(DEFAULT_PARAMS),
     "segmenter_streaming": oracle_streaming(DEFAULT_PARAMS),
+    "segmenter_streaming_dayclose": oracle_streaming(DEFAULT_PARAMS),
     "segmenter_incremental": oracle_streaming(DEFAULT_PARAMS),
     "stream_identity_join": oracle_stream_identity_join(DEFAULT_PARAMS),
     "multimodal_features": ORACLE_MULTIMODAL,
