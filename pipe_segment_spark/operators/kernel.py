@@ -49,10 +49,11 @@ class OpenFragState:
         self.frag_id = frag_id
 
 
-def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic multi-key sort (reference fragment.py:115-140): stable
-    mergesort; None -> greatest for numerics / '' for strings."""
-    ts = pdf["timestamp"].to_numpy("datetime64[us]").astype("int64")
+def _tiebreak_keys(pdf: pd.DataFrame):
+    """Secondary sort keys (everything after timestamp), cheapest-last so
+    they feed np.lexsort directly. Fixed-width unicode conversion is the
+    expensive part — callers only build these for rows with tied
+    timestamps."""
     msgid = pdf["msgid"].fillna("").to_numpy(dtype="U")
     n_tok = pdf["n_tok"].fillna(np.iinfo(np.int64).max).to_numpy(dtype="int64")
     source = pdf["source"].fillna("").to_numpy(dtype="U")
@@ -61,8 +62,45 @@ def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
         ident = pdf["ident_value"].fillna("").to_numpy(dtype="U")
     else:
         ident = np.zeros(len(pdf), dtype="U1")
-    # lexsort: LAST key is primary; numpy lexsort is stable
-    order = np.lexsort((ident, rec, source, n_tok, msgid, ts))
+    return ident, rec, source, n_tok, msgid
+
+
+def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic multi-key sort (reference fragment.py:115-140): stable
+    mergesort; None -> greatest for numerics / '' for strings.
+
+    Timestamps are the primary key and, in real feeds, almost always unique
+    within a key — so the tie-break keys (five fixed-width unicode
+    conversions, the dominant cost here) are only materialized for the rows
+    that actually tie, and only those rows are re-ordered by the full
+    lexsort. Bit-identical to a whole-frame
+    ``lexsort((ident, rec, source, n_tok, msgid, ts))``: rows with distinct
+    timestamps never interleave with a tied run, and stable sorts preserve
+    original index order on full ties either way."""
+    n = len(pdf)
+    if n <= 1:
+        return pdf
+    ts = pdf["timestamp"].to_numpy("datetime64[us]").astype("int64")
+    d = np.diff(ts)
+    if (d > 0).all():  # already strictly increasing: identity order
+        return pdf
+    order = np.argsort(ts, kind="stable")
+    ts_sorted = ts[order]
+    eq = np.flatnonzero(np.diff(ts_sorted) == 0)
+    if eq.size == 0:  # unique timestamps: ts alone is the total order
+        return pdf.iloc[order]
+    # tied runs: refine ONLY the tied rows with the secondary keys
+    tied = np.zeros(n, dtype=bool)
+    tied[eq] = True
+    tied[eq + 1] = True
+    tied_pos = np.flatnonzero(tied)  # positions (in ts-sorted order)
+    rows = order[tied_pos]  # original row indices, run-grouped + stable
+    sub = pdf.iloc[rows]
+    ident, rec, source, n_tok, msgid = _tiebreak_keys(sub)
+    suborder = np.lexsort(
+        (ident, rec, source, n_tok, msgid, ts_sorted[tied_pos])
+    )
+    order[tied_pos] = rows[suborder]
     return pdf.iloc[order]
 
 

@@ -333,21 +333,22 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
         import numpy as np
 
         rows_out = []
+        tagged_dfs = []
         for day_us in sorted(d for d in list(buf) if d < up_to_day_us):
-            recs = buf.pop(day_us)
+            cols = buf.pop(day_us)
             # full 6-key sort identity with the batch engine: source and
             # ident_value are tie keys in sort_group
             pdf = pd.DataFrame(
-                recs,
-                columns=[
-                    "t_us",
-                    "n_tok",
-                    "msgid",
-                    "rec_type",
-                    "has_payload",
-                    "source",
-                    "ident_value",
-                ],
+                {
+                    "t_us": np.asarray(cols["t"], dtype="int64"),
+                    "n_tok": pd.Series(cols["nt"], dtype=object),
+                    "msgid": pd.Series(cols["msgid"], dtype=object),
+                    "rec_type": pd.Series(cols["rec"], dtype=object),
+                    "has_payload": np.asarray(cols["hp"], dtype=bool),
+                    "source": pd.Series(cols["src"], dtype=object),
+                    "ident_value": pd.Series(cols["iv"], dtype=object),
+                },
+                copy=False,
             )
             pdf["doc_id"] = doc_id
             pdf["timestamp"] = pd.to_datetime(pdf["t_us"], unit="us")
@@ -362,36 +363,38 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                 doc_id, ts_us, n_tok, noise, is_ident, [], 1, params
             )
             n = len(pdf)
-            for i in range(n):
-                rows_out.append(
+            fid_arr = np.array(frag_ids, dtype=object)
+            none_col = np.full(n, None, dtype=object)
+            tagged_dfs.append(
+                pd.DataFrame(
                     {
-                        "kind": "tagged",
-                        "doc_id": doc_id,
-                        "timestamp": pdf["timestamp"].iloc[i],
-                        "msgid": pdf["msgid"].iloc[i],
-                        "n_tok": None
-                        if pd.isna(pdf["n_tok"].iloc[i])
-                        else int(pdf["n_tok"].iloc[i]),
-                        "frag_id": frag_ids[i],
-                        "seg_id": None,
-                        "date": None,
-                        "msg_count": None,
-                        "first_us": None,
-                        "last_us": None,
-                    }
+                        "kind": np.full(n, "tagged", dtype=object),
+                        "doc_id": np.full(n, doc_id, dtype=object),
+                        "timestamp": pdf["timestamp"].to_numpy(),
+                        "msgid": pdf["msgid"].to_numpy(dtype=object),
+                        "n_tok": pd.array(pdf["n_tok"], dtype="Int32"),
+                        "frag_id": fid_arr,
+                        "seg_id": none_col,
+                        "date": none_col,
+                        "msg_count": pd.array([None] * n, dtype="Int64"),
+                        "first_us": pd.array([None] * n, dtype="Int64"),
+                        "last_us": pd.array([None] * n, dtype="Int64"),
+                    },
+                    copy=False,
                 )
-            # fragment summaries over POS rows (sorted -> first/last == min/max)
-            fmask = [
-                frag_ids[i] is not None and pdf["rec_type"].iloc[i] != "IDENT"
-                for i in range(n)
-            ]
-            if not any(fmask):
+            )
+            # fragment summaries over POS rows (sorted -> first/last == min/max);
+            # NULL rec_type counts as positional (kernel + oracle semantics)
+            fmask = np.not_equal(fid_arr, None) & (
+                pdf["rec_type"].to_numpy(dtype=object) != "IDENT"
+            )
+            if not fmask.any():
                 continue
             fr = pd.DataFrame(
                 {
-                    "frag_id": [frag_ids[i] for i in range(n) if fmask[i]],
+                    "frag_id": fid_arr[fmask],
                     "t": ts_us[fmask],
-                    "nt": pdf["n_tok"].to_numpy()[fmask].astype("int64"),
+                    "nt": n_tok[fmask].astype("int64"),
                 }
             )
             agg = fr.groupby("frag_id", sort=True).agg(
@@ -425,9 +428,13 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                         "last_us": int(f["last_us"]),
                     }
                 )
-        return rows_out, open_segs
+        return rows_out, tagged_dfs, open_segs
+
+    _BUF_COLS = ("t", "nt", "msgid", "rec", "hp", "src", "iv")
 
     def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         doc_id = key[0]
         if state.exists:
             st = json.loads(state.get[0])
@@ -436,12 +443,11 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
         else:
             buf, open_segs = {}, {}
 
-        rows_out = []
+        rows_out, tagged_dfs = [], []
         if state.hasTimedOut:
-            out, open_segs = close_buffered_days(
+            rows_out, tagged_dfs, open_segs = close_buffered_days(
                 doc_id, buf, open_segs, float("inf")
             )
-            rows_out.extend(out)
         else:
             batch = pd.concat(list(pdf_iter), ignore_index=True)
             # SEED rows: historical open-segment bootstrap, same contract as
@@ -462,32 +468,48 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                     batch["timestamp"].to_numpy("datetime64[us]").astype("int64")
                 )
                 day_us_all = (ts_us_all // US_PER_DAY) * US_PER_DAY
-                has_payload = batch["tokens"].notna().to_numpy(dtype=bool)
-                nt = batch["n_tok"]
-                iv = (
-                    batch["ident_value"]
-                    if "ident_value" in batch.columns
-                    else pd.Series([None] * len(batch))
+                # payload test matches the batch kernel's noise rule exactly:
+                # a null OR EMPTY token array is noise (fragment_group)
+                tokens_np = batch["tokens"].to_numpy()
+                hp = np.fromiter(
+                    (t is not None and len(t) > 0 for t in tokens_np),
+                    dtype=bool,
+                    count=len(batch),
                 )
-                for i in range(len(batch)):
-                    buf.setdefault(int(day_us_all[i]), []).append(
-                        [
-                            int(ts_us_all[i]),
-                            None if pd.isna(nt.iloc[i]) else int(nt.iloc[i]),
-                            batch["msgid"].iloc[i],
-                            batch["rec_type"].iloc[i],
-                            bool(has_payload[i]),
-                            batch["source"].iloc[i],
-                            None if pd.isna(iv.iloc[i]) else iv.iloc[i],
-                        ]
+                nt_f = batch["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
+                nt_obj = np.array(
+                    [None if v != v else int(v) for v in nt_f.tolist()],
+                    dtype=object,
+                )
+                obj_cols = {}
+                for name, col in (
+                    ("msgid", "msgid"),
+                    ("rec", "rec_type"),
+                    ("src", "source"),
+                    ("iv", "ident_value"),
+                ):
+                    if col in batch.columns:
+                        vals = batch[col].to_numpy(dtype=object)
+                        vals[pd.isna(vals)] = None
+                    else:
+                        vals = np.full(len(batch), None, dtype=object)
+                    obj_cols[name] = vals
+                for day in pd.unique(day_us_all):
+                    m = day_us_all == day
+                    b = buf.setdefault(
+                        int(day), {c: [] for c in _BUF_COLS}
                     )
+                    b["t"].extend(ts_us_all[m].tolist())
+                    b["nt"].extend(nt_obj[m].tolist())
+                    b["hp"].extend(hp[m].tolist())
+                    for name in ("msgid", "rec", "src", "iv"):
+                        b[name].extend(obj_cols[name][m].tolist())
             wm_ms = state.getCurrentWatermarkMs()
             if wm_ms > 0:
                 closed_day_us = (wm_ms * 1000 // US_PER_DAY) * US_PER_DAY
-                out, open_segs = close_buffered_days(
+                rows_out, tagged_dfs, open_segs = close_buffered_days(
                     doc_id, buf, open_segs, closed_day_us
                 )
-                rows_out.extend(out)
 
         state.update(
             (
@@ -503,8 +525,11 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
             wm_ms = state.getCurrentWatermarkMs()
             next_close = min(buf) + US_PER_DAY
             state.setTimeoutTimestamp(max(next_close // 1000, wm_ms + 1))
+        out_parts = list(tagged_dfs)
         if rows_out:
-            yield pd.DataFrame(rows_out)
+            out_parts.append(pd.DataFrame(rows_out))
+        for part in out_parts:
+            yield part
 
     return fn
 

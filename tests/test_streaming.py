@@ -441,3 +441,63 @@ def test_day_close_mode_intra_day_disorder_equals_batch(spark, tmp_path):
     assert got_tagged["b0"] == got_tagged["b1"] != got_tagged["a0"]
     # IDENT record attaches to the best open fragment, like batch
     assert got_tagged["i0"] == exp_tagged["i0"]
+
+
+def test_day_close_empty_token_array_is_noise(spark, tmp_path):
+    """A record with an EMPTY (non-null) token array is noise in the batch
+    kernel (fragment_group: len==0 -> noise). day_close buffering must apply
+    the same payload rule — tokens=[] may not open or extend a fragment."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def rec(day, hour, nt, mid, tokens, rt="POS", iv=None):
+        return ("d1", "s", base + dt.timedelta(days=day, hours=hour),
+                tokens, nt, mid, rt, iv)
+
+    rows = [
+        rec(0, 10, 10, "a0", [1, 2]),
+        rec(0, 11, 11, "e0", []),        # empty array: noise
+        rec(0, 12, 12, "e1", None),      # null array: noise
+        rec(0, 13, 12, "a1", [3]),
+        rec(5, 10, 99, "z0", [9]),       # watermark closer
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(in_dir, "feed_0")
+    )
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    out = stream_segment(stream, PARAMS, watermark="2 days", mode="day_close")
+    q = (
+        out.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    assert q.exception() is None
+
+    batch = run_batch_pipeline(
+        spark.createDataFrame(rows, INPUT_SCHEMA), PARAMS
+    )
+    exp_tagged = {
+        r["msgid"]: r["frag_id"] for r in batch.tagged_records.collect()
+    }
+    got = read_sink(spark, out_dir)
+    got_tagged = {
+        r["msgid"]: r["frag_id"]
+        for r in got.where(F.col("kind") == "tagged").collect()
+    }
+    closed = {"a0", "e0", "e1", "a1"}
+    assert {m: f for m, f in got_tagged.items() if m in closed} == {
+        m: f for m, f in exp_tagged.items() if m in closed
+    }
+    assert got_tagged["e0"] is None and got_tagged["e1"] is None
+    # day-0 fragment survived the noise rows: a0 and a1 share a fragment
+    assert got_tagged["a0"] == got_tagged["a1"] is not None
