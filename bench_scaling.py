@@ -11,7 +11,9 @@ parallelism level; report throughput at both + efficiency into
 BENCH/BASELINE.md.
 
 Usage: python bench_scaling.py
-Env: SCALE_REPLICATION (default 256), SPARK_GRAFT_SF_DIR.
+Env: SCALE_REPLICATION (default 1024 — the committed protocol:
+102.4M records, 40,960 keys; smaller inputs let fixed JVM/planning
+overhead dominate the per-level walls and understate scaling), SPARK_GRAFT_SF_DIR.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import shutil
 import subprocess
 import sys
 
-REPLICATION = int(os.environ.get("SCALE_REPLICATION", "256"))
+REPLICATION = int(os.environ.get("SCALE_REPLICATION", "1024"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 INPUT_DIR = f"/tmp/spark_graft_scale_input_r{REPLICATION}"
 

@@ -357,11 +357,42 @@ def lsh_bits_for(n: int) -> int:
     return max(LSH_LO, min(LSH_HI, raw))
 
 
-# SQL twin of lsh_bits_for over the embeddings view
+# SQL twin of lsh_bits_for over the embeddings view (n carried alongside so
+# the probe-tier derivation can reuse the same scan)
 _D_BITS = (
     f"SELECT greatest({LSH_LO}, least({LSH_HI}, "
-    f"CAST(floor(log2(count(*) / {LSH_TARGET_POP}.0)) AS INT))) AS bits "
+    f"CAST(floor(log2(count(*) / {LSH_TARGET_POP}.0)) AS INT))) AS bits, "
+    f"count(*) AS n "
     f"FROM embeddings"
+)
+
+# candidate budget for bucketed top-k retrieval: the probe tier (how many
+# bit-flips of the query's own bucket get probed) is the smallest t whose
+# expected candidate count probes(t) * N / 2^bits reaches this budget.
+# At production N (bucket population ~LSH_TARGET_POP) tier 1 already
+# clears it with ~bits probes; tiny corpora (sparse buckets, the r3 gate
+# fixture's ~2/bucket) escalate to 2- or 3-bit probing so recall does not
+# collapse where brute force is cheap anyway. Derived IDENTICALLY in the
+# DuckDB oracle (same multiply-then-divide double arithmetic).
+ANN_TARGET_CANDIDATES = 256.0
+
+
+def probe_tier_for(n: int, bits: int) -> int:
+    p1 = 1 + bits
+    p2 = p1 + bits * (bits - 1) // 2
+    if p1 * n / 2.0**bits >= ANN_TARGET_CANDIDATES:
+        return 1
+    if p2 * n / 2.0**bits >= ANN_TARGET_CANDIDATES:
+        return 2
+    return 3
+
+
+_D_TIER = (
+    f"SELECT CASE "
+    f"WHEN (1 + bits) * n / pow(2.0, bits) >= {ANN_TARGET_CANDIDATES} THEN 1 "
+    f"WHEN (1 + bits + bits * (bits - 1) // 2) * n / pow(2.0, bits) "
+    f">= {ANN_TARGET_CANDIDATES} THEN 2 "
+    f"ELSE 3 END AS t FROM nb"
 )
 
 
@@ -398,22 +429,39 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join at ~TARGET_POP rows/bucket — never all-pairs), exact cosine
     re-ranks, windowed row_number keeps top-5. Output shape matches
     ``ann_cosine_topk`` so recall is directly measurable on the same
-    fixtures (tests/test_corpus_recall.py records it in PLANS.md)."""
+    fixtures (tests/test_corpus_recall.py records it in PLANS.md).
+
+    Multiprobe depth is candidate-budget-driven (``probe_tier_for``): the
+    probe set is the query's own bucket plus every <=t-bit flip, with t the
+    smallest tier whose expected candidates reach ANN_TARGET_CANDIDATES —
+    so a sparse small corpus probes deeper (recall holds) while production
+    bucket populations stay at ~bits probes per query."""
     e = _embs(spark, sf_dir)
-    bits = lsh_bits_for(e.count())
+    n = e.count()
+    bits = lsh_bits_for(n)
+    tier = probe_tier_for(n, bits)
     e = e.withColumn("bucket", _bucket_expr_spark(bits))
     q = e.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
-    # multiprobe: own bucket + all 1-bit and 2-bit flips (a candidate lives
-    # in exactly one bucket and probe buckets are distinct, so no pair dedup
-    # needed). Probe count is 1 + bits + bits*(bits-1)/2 — the recall/cost
-    # dial: ~2*TARGET_POP*bits^2/2 candidates per query at any corpus size.
-    flips = [1 << j for j in range(bits)] + [
-        (1 << j) | (1 << k) for j in range(bits) for k in range(j + 1, bits)
-    ]
+    # a candidate lives in exactly one bucket and probe buckets are
+    # distinct, so no pair dedup needed
+    flips = [1 << j for j in range(bits)]
+    if tier >= 2:
+        flips += [
+            (1 << j) | (1 << k)
+            for j in range(bits)
+            for k in range(j + 1, bits)
+        ]
+    if tier >= 3:
+        flips += [
+            (1 << j) | (1 << k) | (1 << l)
+            for j in range(bits)
+            for k in range(j + 1, bits)
+            for l in range(k + 1, bits)
+        ]
     probe_arr = F.array(
         F.col("q_bucket"),
         *[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in flips],
@@ -451,17 +499,28 @@ q AS (
     SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
     FROM e WHERE vec_id % 97 = 0
 ),
+tiersel AS ({_D_TIER}),
 flips AS (
     -- bits captured as a plain column (DuckDB forbids subqueries inside
-    -- lambda bodies); k>j pairs via CASE NULL + list_filter
+    -- lambda bodies); k>j pairs / l>k>j triples via CASE NULL +
+    -- list_filter, gated on the candidate-budget probe tier t
     SELECT list_prepend(CAST(0 AS BIGINT),
         list_transform(range(0, bits), j -> 1 << j)
-        || list_filter(
+        || CASE WHEN t >= 2 THEN list_filter(
              flatten(list_transform(range(0, bits),
                j -> list_transform(range(0, bits),
                  k -> CASE WHEN k > j THEN (1 << j) | (1 << k) END))),
-             m -> m IS NOT NULL)) AS masks
-    FROM nb
+             m -> m IS NOT NULL)
+           ELSE CAST([] AS BIGINT[]) END
+        || CASE WHEN t >= 3 THEN list_filter(
+             flatten(flatten(list_transform(range(0, bits),
+               j -> list_transform(range(0, bits),
+                 k -> list_transform(range(0, bits),
+                   l -> CASE WHEN k > j AND l > k
+                        THEN (1 << j) | (1 << k) | (1 << l) END))))),
+             m -> m IS NOT NULL)
+           ELSE CAST([] AS BIGINT[]) END) AS masks
+    FROM nb, tiersel
 ),
 probes AS (
     SELECT q_id, q_emb,

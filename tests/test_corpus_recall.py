@@ -86,3 +86,54 @@ def test_embedding_near_dup_at_12_bits(spark, tmp_path):
     )
     assert len(spark_rows) == len(duck_rows)
     assert spark_rows == duck_rows
+
+
+def test_probe_tier_budget():
+    from pipe_segment_spark.queries.corpus_q import probe_tier_for
+
+    # gate fixture: 500 vecs / 8 bits -> sparse buckets -> deep probing
+    assert probe_tier_for(500, 8) == 3
+    # realistic population (~17/bucket at 12 bits): pairs tier
+    assert probe_tier_for(16 * (1 << 12), 12) == 2
+    assert probe_tier_for(70_000, 12) == 2
+    # wide tables (bits >= 15, N >= ~0.5M): 1-bit probing already clears
+    # the candidate budget — probe count stays ~bits per query at scale
+    assert probe_tier_for(10**9, 24) == 1
+    assert probe_tier_for(10**12, 24) == 1
+    # mid-sparse: pairs tier
+    assert probe_tier_for(4_000, 8) == 2
+
+
+def test_bucketed_topk_recall_at_realistic_population(spark, tmp_path):
+    """Recall of the bucketed retrieval vs brute force at a bucket
+    population the width formula actually targets (70k vectors -> 12 bits,
+    ~17/bucket, probe tier auto). The gate fixture's sparse buckets are the
+    worst case; this is the number that matters for the 100-TB story."""
+    from pipe_segment_spark.queries.corpus_q import (
+        q_ann_bucketed_topk as q_bucketed,
+    )
+
+    n = 70_000
+    emb_dir = str(tmp_path / "embeddings.parquet")
+    spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7).cast("int").alias("label"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "cast((cast(conv(substring(md5(concat(cast(id as string), ':', "
+            "cast(i as string))), 1, 8), 16, 10) as double) / 4294967295.0 "
+            "- 0.5) as float))"
+        ).alias("embedding"),
+    ).coalesce(8).write.parquet(emb_dir)
+
+    brute = _topk_sets(q_ann_cosine_topk(spark, str(tmp_path)))
+    bucketed = _topk_sets(q_bucketed(spark, str(tmp_path)))
+    assert set(bucketed) == set(brute)
+    hits = sum(len(bucketed[q] & brute[q]) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    recall = hits / total
+    print(f"bucketed-topk recall@5 @70k/12bits = {recall:.3f} ({hits}/{total})")
+    # md5-uniform vectors are the adversarial case for LSH (no cluster
+    # structure at all); the bucketed path must still find a meaningful
+    # share of the exact top-5
+    assert recall >= 0.15
