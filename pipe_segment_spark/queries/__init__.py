@@ -123,6 +123,8 @@ GATE_ORDER = [
     "suppliers_of_shipped_parts",
     "left_join_coalesce",
     "top1_per_group",
+    "segmenter_streaming_dayclose",
+    "segmenter_streaming_sorted_prefix",
 ]
 
 QUERIES = {n: _ALL_QUERIES[n] for n in GATE_ORDER if n in _ALL_QUERIES}

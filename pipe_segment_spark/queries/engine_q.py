@@ -180,6 +180,41 @@ def q_segmenter_streaming_dayclose(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_segmenter_streaming_sortedprefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sorted_prefix streaming mode end-to-end: records buffer per
+    (key, day) and the watermark-confirmed prefix releases through the
+    kernel incrementally (sorted, carried per-day state) — day_close's
+    byte-identity under arbitrary intra-day disorder with near-immediate
+    emission and out-of-order-suffix-bounded state. Same recursive-CTE
+    oracle as segmenter_streaming."""
+    import tempfile
+
+    from pipe_segment_spark.streaming.segmenter_stream import (
+        INPUT_SCHEMA_DDL,
+        stream_segment,
+    )
+    from pipe_segment_spark.streaming.sink import idempotent_batch_writer, read_sink
+
+    tmp = tempfile.mkdtemp(prefix="seg_stream_sp_q_")
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    token_stream(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(in_dir)
+    q = (
+        spark.readStream.schema(INPUT_SCHEMA_DDL)
+        .parquet(in_dir)
+        .transform(
+            lambda df: stream_segment(df, DEFAULT_PARAMS, mode="sorted_prefix")
+        )
+        .writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return read_sink(spark, out_dir).select(
+        "kind", "doc_id", "timestamp", "msgid", "frag_id", "seg_id", "date"
+    )
+
+
 def q_segmenter_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference daily scheduling as checkpoint-resume: the stream is fed in
     TWO date-split installments with a full engine stop + restart from
@@ -299,6 +334,7 @@ QUERIES = {
     "segmenter_full_tagged": q_segmenter_full_tagged,
     "segmenter_streaming": q_segmenter_streaming,
     "segmenter_streaming_dayclose": q_segmenter_streaming_dayclose,
+    "segmenter_streaming_sorted_prefix": q_segmenter_streaming_sortedprefix,
     "segmenter_incremental": q_segmenter_incremental,
     "stream_identity_join": q_stream_identity_join,
     "multimodal_features": q_multimodal_features,
@@ -321,6 +357,7 @@ ORACLES: dict[str, str] = {
     "segmenter_full_tagged": oracle_full_tagged(DEFAULT_PARAMS),
     "segmenter_streaming": oracle_streaming(DEFAULT_PARAMS),
     "segmenter_streaming_dayclose": oracle_streaming(DEFAULT_PARAMS),
+    "segmenter_streaming_sorted_prefix": oracle_streaming(DEFAULT_PARAMS),
     "segmenter_incremental": oracle_streaming(DEFAULT_PARAMS),
     "stream_identity_join": oracle_stream_identity_join(DEFAULT_PARAMS),
     "multimodal_features": ORACLE_MULTIMODAL,

@@ -84,30 +84,30 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType([StructField("js", StringType())])
 
 
-def _encode_state(frag_days, open_segs, pending_frags) -> tuple:
+def _encode_state(frag_days, open_segs, pending_frags, buf=None) -> tuple:
     """frag_days: {day_us(int) -> (open_frags list, next_k)} — per-day
     fragmenter state, so late-but-in-watermark records for an earlier day
     can never clobber a newer day's open fragments (each day's state machine
     is independent, exactly like the batch engine's (doc_id, day) grouping).
-    JSON keys are stringified day_us."""
-    return (
-        json.dumps(
-            {
-                "fd": {
-                    str(day): [
-                        [
-                            [f.k, f.first_us, f.last_us, f.last_n_tok, f.frag_id]
-                            for f in of
-                        ],
-                        nk,
-                    ]
-                    for day, (of, nk) in frag_days.items()
-                },
-                "os": open_segs,
-                "pf": pending_frags,
-            }
-        ),
-    )
+    ``buf`` (sorted_prefix mode) holds the not-yet-released columnar record
+    suffix per day. JSON keys are stringified day_us."""
+    d = {
+        "fd": {
+            str(day): [
+                [
+                    [f.k, f.first_us, f.last_us, f.last_n_tok, f.frag_id]
+                    for f in of
+                ],
+                nk,
+            ]
+            for day, (of, nk) in frag_days.items()
+        },
+        "os": open_segs,
+        "pf": pending_frags,
+    }
+    if buf is not None:
+        d["buf"] = {str(k): v for k, v in buf.items()}
+    return (json.dumps(d),)
 
 
 def _decode_state(tup):
@@ -124,6 +124,193 @@ def _decode_state(tup):
         frag_days,
         {k: tuple(v) for k, v in d["os"].items()},
         d["pf"],
+        {int(k): v for k, v in d.get("buf", {}).items()},
+    )
+
+
+def _close_pending_days(doc_id, open_segs, pending_frags, up_to_day_us, params):
+    """Run greedy matching for every pending day < up_to_day_us; returns
+    (segmap row dicts, new open_segs, remaining pending)."""
+    out = []
+    days = sorted({f["day_us"] for f in pending_frags})
+    remaining = pending_frags
+    for day_us in days:
+        if day_us >= up_to_day_us:
+            break
+        day_frags = [f for f in remaining if f["day_us"] == day_us]
+        remaining = [f for f in remaining if f["day_us"] != day_us]
+        fr = pd.DataFrame(day_frags)
+        fr["date"] = pd.to_datetime(fr["day_us"], unit="us").dt.date
+        segmap, open_segs = greedy_merge(doc_id, fr, params, open_segs)
+        by_frag = {f["frag_id"]: f for f in day_frags}
+        for _, r in segmap.iterrows():
+            f = by_frag[r["frag_id"]]
+            out.append(
+                {
+                    "kind": "segmap",
+                    "doc_id": doc_id,
+                    "timestamp": pd.Timestamp(f["day_us"], unit="us"),
+                    "msgid": None,
+                    "n_tok": None,
+                    "frag_id": r["frag_id"],
+                    "seg_id": r["seg_id"],
+                    "date": str(r["date"]),
+                    "msg_count": int(f["msg_count"]),
+                    "first_us": int(f["first_us"]),
+                    "last_us": int(f["last_us"]),
+                }
+            )
+    return out, open_segs, remaining
+
+
+def _merge_pending(pending, fid_m, t_m, nt_m, day_m):
+    """Min/max-merge per-fragment boundary summaries into ``pending`` (in
+    place). Inputs are pre-masked to POSITIONAL rows with a frag_id, in
+    processed (sorted) order, so groupby first/last are the run's own
+    boundaries; merging against stored values keeps the summary equal to
+    what a one-shot sorted run over the union would emit."""
+    if len(fid_m) == 0:
+        return
+    upd = pd.DataFrame(
+        {"fid": fid_m, "t": t_m, "nt": nt_m, "day_us": day_m}
+    )
+    agg = upd.groupby("fid", sort=False).agg(
+        day_us=("day_us", "first"),
+        first_us=("t", "first"),
+        last_us=("t", "last"),
+        first_nt=("nt", "first"),
+        last_nt=("nt", "last"),
+        cnt=("t", "size"),
+    )
+    by_id = {f["frag_id"]: f for f in pending}
+    for fid, row in agg.iterrows():
+        f = by_id.get(fid)
+        if f is None:
+            f = {
+                "frag_id": fid,
+                "day_us": int(row["day_us"]),
+                "first_us": int(row["first_us"]),
+                "last_us": int(row["last_us"]),
+                "first_n_tok": int(row["first_nt"]),
+                "last_n_tok": int(row["last_nt"]),
+                "msg_count": 0,
+            }
+            by_id[fid] = f
+            pending.append(f)
+        if int(row["first_us"]) < f["first_us"]:
+            f["first_us"] = int(row["first_us"])
+            f["first_n_tok"] = int(row["first_nt"])
+        if int(row["last_us"]) > f["last_us"]:
+            f["last_us"] = int(row["last_us"])
+            f["last_n_tok"] = int(row["last_nt"])
+        f["msg_count"] += int(row["cnt"])
+
+
+_BUF_COLS = ("t", "nt", "msgid", "rec", "hp", "src", "iv")
+
+
+def _consume_seeds(batch, open_segs):
+    """Strip SEED rows (reference ReadFragments bootstrap: seg_id in
+    ident_value, last boundary in timestamp/n_tok) into open_segs."""
+    if len(batch) and (batch["rec_type"] == "SEED").any():
+        seeds = batch[batch["rec_type"] == "SEED"]
+        batch = batch[batch["rec_type"] != "SEED"].reset_index(drop=True)
+        for _, s in seeds.iterrows():
+            last_us = int(
+                pd.Timestamp(s["timestamp"])
+                .to_datetime64()
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            open_segs[s["ident_value"]] = (last_us, int(s["n_tok"]))
+    return batch
+
+
+def _append_to_buffer(buf, batch):
+    """Columnar per-day append of one microbatch into the keyed buffer.
+    The payload test matches the batch kernel's noise rule exactly: a null
+    OR EMPTY token array is noise (fragment_group)."""
+    import numpy as np
+
+    ts_us_all = batch["timestamp"].to_numpy("datetime64[us]").astype("int64")
+    day_us_all = (ts_us_all // US_PER_DAY) * US_PER_DAY
+    tokens_np = batch["tokens"].to_numpy()
+    hp = np.fromiter(
+        (t is not None and len(t) > 0 for t in tokens_np),
+        dtype=bool,
+        count=len(batch),
+    )
+    nt_f = batch["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
+    nt_obj = np.array(
+        [None if v != v else int(v) for v in nt_f.tolist()], dtype=object
+    )
+    obj_cols = {}
+    for name, col in (
+        ("msgid", "msgid"),
+        ("rec", "rec_type"),
+        ("src", "source"),
+        ("iv", "ident_value"),
+    ):
+        if col in batch.columns:
+            vals = batch[col].to_numpy(dtype=object)
+            vals[pd.isna(vals)] = None
+        else:
+            vals = np.full(len(batch), None, dtype=object)
+        obj_cols[name] = vals
+    for day in pd.unique(day_us_all):
+        m = day_us_all == day
+        b = buf.setdefault(int(day), {c: [] for c in _BUF_COLS})
+        b["t"].extend(ts_us_all[m].tolist())
+        b["nt"].extend(nt_obj[m].tolist())
+        b["hp"].extend(hp[m].tolist())
+        for name in ("msgid", "rec", "src", "iv"):
+            b[name].extend(obj_cols[name][m].tolist())
+
+
+def _sorted_pdf_from_cols(doc_id, cols):
+    """Columnar buffer slice -> 6-key-sorted pandas frame (full sort
+    identity with the batch engine: source and ident_value are tie keys in
+    sort_group)."""
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "t_us": np.asarray(cols["t"], dtype="int64"),
+            "n_tok": pd.Series(cols["nt"], dtype=object),
+            "msgid": pd.Series(cols["msgid"], dtype=object),
+            "rec_type": pd.Series(cols["rec"], dtype=object),
+            "has_payload": np.asarray(cols["hp"], dtype=bool),
+            "source": pd.Series(cols["src"], dtype=object),
+            "ident_value": pd.Series(cols["iv"], dtype=object),
+        },
+        copy=False,
+    )
+    pdf["doc_id"] = doc_id
+    pdf["timestamp"] = pd.to_datetime(pdf["t_us"], unit="us")
+    return sort_group(pdf)
+
+
+def _tagged_frame(doc_id, pdf, fid_arr):
+    """Columnar tagged-record output frame in OUTPUT_SCHEMA order."""
+    import numpy as np
+
+    n = len(pdf)
+    none_col = np.full(n, None, dtype=object)
+    return pd.DataFrame(
+        {
+            "kind": np.full(n, "tagged", dtype=object),
+            "doc_id": np.full(n, doc_id, dtype=object),
+            "timestamp": pdf["timestamp"].to_numpy(),
+            "msgid": pdf["msgid"].to_numpy(dtype=object),
+            "n_tok": pd.array(pdf["n_tok"], dtype="Int32"),
+            "frag_id": fid_arr,
+            "seg_id": none_col,
+            "date": none_col,
+            "msg_count": pd.array([None] * n, dtype="Int64"),
+            "first_us": pd.array([None] * n, dtype="Int64"),
+            "last_us": pd.array([None] * n, dtype="Int64"),
+        },
+        copy=False,
     )
 
 
@@ -132,44 +319,16 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
     applyInPandasWithState."""
 
     def close_days(doc_id, open_segs, pending_frags, up_to_day_us):
-        """Run greedy matching for every pending day < up_to_day_us."""
-        out = []
-        days = sorted({f["day_us"] for f in pending_frags})
-        remaining = pending_frags
-        for day_us in days:
-            if day_us >= up_to_day_us:
-                break
-            day_frags = [f for f in remaining if f["day_us"] == day_us]
-            remaining = [f for f in remaining if f["day_us"] != day_us]
-            fr = pd.DataFrame(day_frags)
-            fr["date"] = pd.to_datetime(fr["day_us"], unit="us").dt.date
-            segmap, open_segs = greedy_merge(doc_id, fr, params, open_segs)
-            by_frag = {f["frag_id"]: f for f in day_frags}
-            for _, r in segmap.iterrows():
-                f = by_frag[r["frag_id"]]
-                out.append(
-                    {
-                        "kind": "segmap",
-                        "doc_id": doc_id,
-                        "timestamp": pd.Timestamp(f["day_us"], unit="us"),
-                        "msgid": None,
-                        "n_tok": None,
-                        "frag_id": r["frag_id"],
-                        "seg_id": r["seg_id"],
-                        "date": str(r["date"]),
-                        "msg_count": int(f["msg_count"]),
-                        "first_us": int(f["first_us"]),
-                        "last_us": int(f["last_us"]),
-                    }
-                )
-        return out, open_segs, remaining
+        return _close_pending_days(
+            doc_id, open_segs, pending_frags, up_to_day_us, params
+        )
 
     def fn(key, pdf_iter, state: GroupState):
         import numpy as np
 
         doc_id = key[0]
         if state.exists:
-            frag_days, open_segs, pending = _decode_state(state.get)
+            frag_days, open_segs, pending, _ = _decode_state(state.get)
         else:
             frag_days, open_segs, pending = {}, {}, []
 
@@ -184,22 +343,8 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
             state.update(_encode_state(frag_days, open_segs, pending))
         else:
             batch = pd.concat(list(pdf_iter), ignore_index=True)
-            # state bootstrap (reference ReadFragments, read_fragments.py:12-99):
-            # SEED rows carry historical open-segment state — (seg_id in
-            # ident_value, last boundary in timestamp/n_tok) — and are
-            # consumed before any real records
-            if len(batch) and (batch["rec_type"] == "SEED").any():
-                seeds = batch[batch["rec_type"] == "SEED"]
-                batch = batch[batch["rec_type"] != "SEED"]
-                for _, s in seeds.iterrows():
-                    seg_id = s["ident_value"]
-                    last_us = int(
-                        pd.Timestamp(s["timestamp"]).to_datetime64().astype(
-                            "datetime64[us]"
-                        ).astype("int64")
-                    )
-                    open_segs[seg_id] = (last_us, int(s["n_tok"]))
-                batch = batch.reset_index(drop=True)
+            # state bootstrap (reference ReadFragments, read_fragments.py:12-99)
+            batch = _consume_seeds(batch, open_segs)
             if len(batch):
                 batch = sort_group(batch)
                 ts_us_all = (
@@ -239,57 +384,21 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                 )
                 yield rows_tagged
                 # pending fragment-summary updates: groupby over POS rows
-                # with a frag_id — O(fragments) python work, not O(records)
+                # with a frag_id — O(fragments) python work, not O(records).
+                # Min/max-merged against stored boundaries so a late-but-in-
+                # watermark record that precedes the fragment's current
+                # first record moves first_us down without regressing
+                # last_us (summary equals a one-shot sorted run's).
                 pos_mask = np.not_equal(fid_arr, None) & (
                     batch["rec_type"].to_numpy() != "IDENT"
                 )
-                if pos_mask.any():
-                    upd = pd.DataFrame(
-                        {
-                            "fid": fid_arr[pos_mask],
-                            "t": ts_us_all[pos_mask],
-                            "nt": batch["n_tok"].to_numpy()[pos_mask].astype(
-                                "int64"
-                            ),
-                            "day_us": day_us_all[pos_mask],
-                        }
-                    )
-                    agg = upd.groupby("fid", sort=False).agg(
-                        day_us=("day_us", "first"),
-                        first_us=("t", "first"),
-                        last_us=("t", "last"),
-                        first_nt=("nt", "first"),
-                        last_nt=("nt", "last"),
-                        cnt=("t", "size"),
-                    )
-                    by_id = {f["frag_id"]: f for f in pending}
-                    for fid, row in agg.iterrows():
-                        f = by_id.get(fid)
-                        if f is None:
-                            f = {
-                                "frag_id": fid,
-                                "day_us": int(row["day_us"]),
-                                "first_us": int(row["first_us"]),
-                                "last_us": int(row["last_us"]),
-                                "first_n_tok": int(row["first_nt"]),
-                                "last_n_tok": int(row["last_nt"]),
-                                "msg_count": 0,
-                            }
-                            by_id[fid] = f
-                            pending.append(f)
-                        # min/max-merge against stored boundaries: a
-                        # late-but-in-watermark record that precedes the
-                        # fragment's current first record must move first_us
-                        # down (and must NOT regress last_us) so the pending
-                        # summary equals what a one-shot sorted run would
-                        # emit for the same attached-record set
-                        if int(row["first_us"]) < f["first_us"]:
-                            f["first_us"] = int(row["first_us"])
-                            f["first_n_tok"] = int(row["first_nt"])
-                        if int(row["last_us"]) > f["last_us"]:
-                            f["last_us"] = int(row["last_us"])
-                            f["last_n_tok"] = int(row["last_nt"])
-                        f["msg_count"] += int(row["cnt"])
+                _merge_pending(
+                    pending,
+                    fid_arr[pos_mask],
+                    ts_us_all[pos_mask],
+                    batch["n_tok"].to_numpy()[pos_mask].astype("int64"),
+                    day_us_all[pos_mask],
+                )
 
             # close days that the watermark has fully passed
             wm_ms = state.getCurrentWatermarkMs()
@@ -332,57 +441,23 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
     def close_buffered_days(doc_id, buf, open_segs, up_to_day_us):
         import numpy as np
 
+        from pipe_segment_spark.operators.kernel import _fragment_loop
+
         rows_out = []
         tagged_dfs = []
         for day_us in sorted(d for d in list(buf) if d < up_to_day_us):
             cols = buf.pop(day_us)
-            # full 6-key sort identity with the batch engine: source and
-            # ident_value are tie keys in sort_group
-            pdf = pd.DataFrame(
-                {
-                    "t_us": np.asarray(cols["t"], dtype="int64"),
-                    "n_tok": pd.Series(cols["nt"], dtype=object),
-                    "msgid": pd.Series(cols["msgid"], dtype=object),
-                    "rec_type": pd.Series(cols["rec"], dtype=object),
-                    "has_payload": np.asarray(cols["hp"], dtype=bool),
-                    "source": pd.Series(cols["src"], dtype=object),
-                    "ident_value": pd.Series(cols["iv"], dtype=object),
-                },
-                copy=False,
-            )
-            pdf["doc_id"] = doc_id
-            pdf["timestamp"] = pd.to_datetime(pdf["t_us"], unit="us")
-            pdf = sort_group(pdf)
+            pdf = _sorted_pdf_from_cols(doc_id, cols)
             ts_us = pdf["t_us"].to_numpy("int64")
             n_tok = pdf["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
             noise = ~pdf["has_payload"].to_numpy(dtype=bool) | np.isnan(n_tok)
             is_ident = pdf["rec_type"].to_numpy() == "IDENT"
-            from pipe_segment_spark.operators.kernel import _fragment_loop
 
             frag_ids, _frags, _nk = _fragment_loop(
                 doc_id, ts_us, n_tok, noise, is_ident, [], 1, params
             )
-            n = len(pdf)
             fid_arr = np.array(frag_ids, dtype=object)
-            none_col = np.full(n, None, dtype=object)
-            tagged_dfs.append(
-                pd.DataFrame(
-                    {
-                        "kind": np.full(n, "tagged", dtype=object),
-                        "doc_id": np.full(n, doc_id, dtype=object),
-                        "timestamp": pdf["timestamp"].to_numpy(),
-                        "msgid": pdf["msgid"].to_numpy(dtype=object),
-                        "n_tok": pd.array(pdf["n_tok"], dtype="Int32"),
-                        "frag_id": fid_arr,
-                        "seg_id": none_col,
-                        "date": none_col,
-                        "msg_count": pd.array([None] * n, dtype="Int64"),
-                        "first_us": pd.array([None] * n, dtype="Int64"),
-                        "last_us": pd.array([None] * n, dtype="Int64"),
-                    },
-                    copy=False,
-                )
-            )
+            tagged_dfs.append(_tagged_frame(doc_id, pdf, fid_arr))
             # fragment summaries over POS rows (sorted -> first/last == min/max);
             # NULL rec_type counts as positional (kernel + oracle semantics)
             fmask = np.not_equal(fid_arr, None) & (
@@ -430,11 +505,7 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                 )
         return rows_out, tagged_dfs, open_segs
 
-    _BUF_COLS = ("t", "nt", "msgid", "rec", "hp", "src", "iv")
-
     def fn(key, pdf_iter, state: GroupState):
-        import numpy as np
-
         doc_id = key[0]
         if state.exists:
             st = json.loads(state.get[0])
@@ -450,60 +521,9 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
             )
         else:
             batch = pd.concat(list(pdf_iter), ignore_index=True)
-            # SEED rows: historical open-segment bootstrap, same contract as
-            # the low-latency mode (reference ReadFragments)
-            if len(batch) and (batch["rec_type"] == "SEED").any():
-                seeds = batch[batch["rec_type"] == "SEED"]
-                batch = batch[batch["rec_type"] != "SEED"].reset_index(drop=True)
-                for _, s in seeds.iterrows():
-                    last_us = int(
-                        pd.Timestamp(s["timestamp"])
-                        .to_datetime64()
-                        .astype("datetime64[us]")
-                        .astype("int64")
-                    )
-                    open_segs[s["ident_value"]] = (last_us, int(s["n_tok"]))
+            batch = _consume_seeds(batch, open_segs)
             if len(batch):
-                ts_us_all = (
-                    batch["timestamp"].to_numpy("datetime64[us]").astype("int64")
-                )
-                day_us_all = (ts_us_all // US_PER_DAY) * US_PER_DAY
-                # payload test matches the batch kernel's noise rule exactly:
-                # a null OR EMPTY token array is noise (fragment_group)
-                tokens_np = batch["tokens"].to_numpy()
-                hp = np.fromiter(
-                    (t is not None and len(t) > 0 for t in tokens_np),
-                    dtype=bool,
-                    count=len(batch),
-                )
-                nt_f = batch["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
-                nt_obj = np.array(
-                    [None if v != v else int(v) for v in nt_f.tolist()],
-                    dtype=object,
-                )
-                obj_cols = {}
-                for name, col in (
-                    ("msgid", "msgid"),
-                    ("rec", "rec_type"),
-                    ("src", "source"),
-                    ("iv", "ident_value"),
-                ):
-                    if col in batch.columns:
-                        vals = batch[col].to_numpy(dtype=object)
-                        vals[pd.isna(vals)] = None
-                    else:
-                        vals = np.full(len(batch), None, dtype=object)
-                    obj_cols[name] = vals
-                for day in pd.unique(day_us_all):
-                    m = day_us_all == day
-                    b = buf.setdefault(
-                        int(day), {c: [] for c in _BUF_COLS}
-                    )
-                    b["t"].extend(ts_us_all[m].tolist())
-                    b["nt"].extend(nt_obj[m].tolist())
-                    b["hp"].extend(hp[m].tolist())
-                    for name in ("msgid", "rec", "src", "iv"):
-                        b[name].extend(obj_cols[name][m].tolist())
+                _append_to_buffer(buf, batch)
             wm_ms = state.getCurrentWatermarkMs()
             if wm_ms > 0:
                 closed_day_us = (wm_ms * 1000 // US_PER_DAY) * US_PER_DAY
@@ -534,6 +554,131 @@ def make_day_close_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
     return fn
 
 
+def make_sorted_prefix_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
+    """Watermark-sorted incremental variant: arriving records buffer per
+    (key, day); every batch, the buffered records STRICTLY BELOW the current
+    watermark are released — sorted, run through the per-day fragmenter
+    kernel with carried (open-fragments, counter) state, and their tagged
+    rows emitted immediately. The watermark contract guarantees no future
+    record can precede a released one (late rows are dropped upstream), and
+    a tied timestamp group can never straddle the release boundary (release
+    is a strict cut at the watermark, future rows are >= it), so the
+    concatenated released blocks replay the batch kernel's one-shot sorted
+    run EXACTLY — byte-identity under arbitrary intra-day disorder, like
+    ``day_close``, but with per-watermark-advance emission latency and
+    per-key state bounded by the out-of-order suffix (records in
+    [watermark, max event time]) + open-fragment summaries, NOT by the
+    whole day."""
+
+    def release_prefix(doc_id, buf, frag_days, pending, release_below_us):
+        import numpy as np
+
+        from pipe_segment_spark.operators.kernel import _fragment_loop
+
+        tagged = []
+        for day_us in sorted(buf):
+            cols = buf[day_us]
+            t = np.asarray(cols["t"], dtype="int64")
+            rel = t < release_below_us
+            if not rel.any():
+                continue
+            if rel.all():
+                rel_cols = buf.pop(day_us)
+            else:
+                keep = ~rel
+                rel_cols = {
+                    c: np.asarray(cols[c], dtype=object)[rel].tolist()
+                    for c in _BUF_COLS
+                }
+                buf[day_us] = {
+                    c: np.asarray(cols[c], dtype=object)[keep].tolist()
+                    for c in _BUF_COLS
+                }
+            pdf = _sorted_pdf_from_cols(doc_id, rel_cols)
+            ts_us = pdf["t_us"].to_numpy("int64")
+            n_tok = pdf["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
+            noise = ~pdf["has_payload"].to_numpy(dtype=bool) | np.isnan(n_tok)
+            is_ident = pdf["rec_type"].to_numpy() == "IDENT"
+            of, nk = frag_days.get(day_us, ([], 1))
+            frag_ids, of, nk = _fragment_loop(
+                doc_id, ts_us, n_tok, noise, is_ident, of, nk, params
+            )
+            frag_days[day_us] = (of, nk)
+            fid_arr = np.array(frag_ids, dtype=object)
+            tagged.append(_tagged_frame(doc_id, pdf, fid_arr))
+            pos = np.not_equal(fid_arr, None) & (
+                pdf["rec_type"].to_numpy(dtype=object) != "IDENT"
+            )
+            _merge_pending(
+                pending,
+                fid_arr[pos],
+                ts_us[pos],
+                n_tok[pos].astype("int64"),
+                np.full(int(pos.sum()), day_us, dtype="int64"),
+            )
+        return tagged
+
+    def fn(key, pdf_iter, state: GroupState):
+        doc_id = key[0]
+        if state.exists:
+            frag_days, open_segs, pending, buf = _decode_state(state.get)
+        else:
+            frag_days, open_segs, pending, buf = {}, {}, [], {}
+
+        rows_out, tagged_dfs = [], []
+        if state.hasTimedOut:
+            # terminal drain (same contract as the other modes): release and
+            # close everything still held
+            tagged_dfs = release_prefix(
+                doc_id, buf, frag_days, pending, float("inf")
+            )
+            rows_out, open_segs, pending = _close_pending_days(
+                doc_id, open_segs, pending, float("inf"), params
+            )
+            frag_days = {}
+            state.update(_encode_state(frag_days, open_segs, pending, buf))
+        else:
+            batch = pd.concat(list(pdf_iter), ignore_index=True)
+            batch = _consume_seeds(batch, open_segs)
+            if len(batch):
+                _append_to_buffer(buf, batch)
+            wm_ms = state.getCurrentWatermarkMs()
+            if wm_ms > 0:
+                wm_us = wm_ms * 1000
+                tagged_dfs = release_prefix(
+                    doc_id, buf, frag_days, pending, wm_us
+                )
+                closed_day_us = (wm_us // US_PER_DAY) * US_PER_DAY
+                out, open_segs, pending = _close_pending_days(
+                    doc_id, open_segs, pending, closed_day_us, params
+                )
+                rows_out.extend(out)
+                frag_days = {
+                    d: v for d, v in frag_days.items() if d >= closed_day_us
+                }
+            state.update(_encode_state(frag_days, open_segs, pending, buf))
+            if pending or buf:
+                next_close = (
+                    min([f["day_us"] for f in pending] + list(buf))
+                    + US_PER_DAY
+                )
+                state.setTimeoutTimestamp(max(next_close // 1000, wm_ms + 1))
+
+        for part in tagged_dfs:
+            yield part
+        if rows_out:
+            yield pd.DataFrame(rows_out)
+
+    return fn
+
+
+_MODE_MAKERS = {
+    "low_latency": make_stateful_segmenter,
+    "day_close": make_day_close_segmenter,
+    "sorted_prefix": make_sorted_prefix_segmenter,
+}
+
+
 def stream_segment(
     records_stream: DataFrame,
     params: SegmenterParams = DEFAULT_PARAMS,
@@ -550,15 +695,22 @@ def stream_segment(
       - ``day_close``: raw records buffer per (key, day) and the whole day
         replays the batch kernel when the watermark closes it —
         byte-identical to the one-shot batch engine under ARBITRARY
-        intra-day disorder, at the cost of day-close emission latency.
+        intra-day disorder, at the cost of day-close emission latency and
+        O(records per open day) state.
+      - ``sorted_prefix``: buffered records release through the kernel as
+        the watermark confirms them (sorted, carried per-day state) —
+        day_close's byte-identity guarantee with near-low_latency emission
+        and state bounded by the out-of-order suffix, not the day.
+
+    Event-time timeout semantics (all modes): a fired timeout DRAINS all
+    held state (close-everything), matching the batch engine at end of a
+    bounded feed. Continuous deployments should size ``watermark`` to the
+    feed's real disorder so day closes happen on the data path.
     """
-    if mode not in ("low_latency", "day_close"):
-        raise ValueError(f"unknown stream mode {mode!r}")
-    fn = (
-        make_stateful_segmenter(params)
-        if mode == "low_latency"
-        else make_day_close_segmenter(params)
-    )
+    try:
+        fn = _MODE_MAKERS[mode](params)
+    except KeyError:
+        raise ValueError(f"unknown stream mode {mode!r}") from None
     return (
         records_stream.withWatermark("timestamp", watermark)
         .groupBy("doc_id")

@@ -352,11 +352,14 @@ def test_fragment_loop_carried_state_earlier_timestamp():
     assert ids[0] is not None and ids[0] != "f1"  # new fragment, no crash
 
 
-def test_day_close_mode_intra_day_disorder_equals_batch(spark, tmp_path):
-    """day_close mode: the same day's records split ACROSS microbatches in
-    shuffled order must produce output byte-identical to the one-shot batch
-    engine (reference daily-batch semantics: whole days run through the
-    19-key sort at once — VERDICT r02 ask #7)."""
+@pytest.mark.parametrize("mode", ["day_close", "sorted_prefix"])
+def test_buffered_modes_intra_day_disorder_equals_batch(spark, tmp_path, mode):
+    """day_close + sorted_prefix modes: the same day's records split ACROSS
+    microbatches in shuffled order must produce output byte-identical to the
+    one-shot batch engine (reference daily-batch semantics: whole days run
+    through the 19-key sort at once — VERDICT r02 ask #7; sorted_prefix
+    gives the same guarantee with watermark-released incremental kernel
+    runs)."""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1)
@@ -398,7 +401,7 @@ def test_day_close_mode_intra_day_disorder_equals_batch(spark, tmp_path):
             .option("recursiveFileLookup", "true")
             .parquet(in_dir)
         )
-        out = stream_segment(stream, PARAMS, watermark="4 days", mode="day_close")
+        out = stream_segment(stream, PARAMS, watermark="4 days", mode=mode)
         q = (
             out.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
             .option("checkpointLocation", ckpt)
@@ -443,10 +446,12 @@ def test_day_close_mode_intra_day_disorder_equals_batch(spark, tmp_path):
     assert got_tagged["i0"] == exp_tagged["i0"]
 
 
-def test_day_close_empty_token_array_is_noise(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["day_close", "sorted_prefix"])
+def test_buffered_modes_empty_token_array_is_noise(spark, tmp_path, mode):
     """A record with an EMPTY (non-null) token array is noise in the batch
-    kernel (fragment_group: len==0 -> noise). day_close buffering must apply
-    the same payload rule — tokens=[] may not open or extend a fragment."""
+    kernel (fragment_group: len==0 -> noise). Buffered-mode ingestion must
+    apply the same payload rule — tokens=[] may not open or extend a
+    fragment."""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1)
@@ -473,7 +478,7 @@ def test_day_close_empty_token_array_is_noise(spark, tmp_path):
         .option("recursiveFileLookup", "true")
         .parquet(in_dir)
     )
-    out = stream_segment(stream, PARAMS, watermark="2 days", mode="day_close")
+    out = stream_segment(stream, PARAMS, watermark="2 days", mode=mode)
     q = (
         out.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
         .option("checkpointLocation", ckpt)
@@ -501,3 +506,107 @@ def test_day_close_empty_token_array_is_noise(spark, tmp_path):
     assert got_tagged["e0"] is None and got_tagged["e1"] is None
     # day-0 fragment survived the noise rows: a0 and a1 share a fragment
     assert got_tagged["a0"] == got_tagged["a1"] is not None
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving mode kernels directly."""
+
+    def __init__(self, wm_ms=0):
+        self._val = None
+        self.wm_ms = wm_ms
+        self.timeout_set = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, tup):
+        self._val = tup
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_set = ts
+
+
+def test_sorted_prefix_state_bounded_by_suffix():
+    """sorted_prefix keeps ONLY the out-of-order suffix (records >= the
+    watermark) buffered; the watermark-confirmed prefix is released through
+    the kernel incrementally and its tagged output equals the one-shot
+    sorted kernel run over the same records."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pipe_segment_spark.operators.kernel import _fragment_loop
+    from pipe_segment_spark.streaming.segmenter_stream import (
+        _decode_state,
+        make_sorted_prefix_segmenter,
+    )
+
+    fn = make_sorted_prefix_segmenter(PARAMS)
+    base = dt.datetime(2024, 1, 1)
+    hour_us = 3_600_000_000
+
+    def batch_df(rows):
+        return pd.DataFrame(
+            {
+                "doc_id": ["d1"] * len(rows),
+                "source": ["s"] * len(rows),
+                "timestamp": [base + dt.timedelta(hours=h) for h, *_ in rows],
+                "tokens": [[1, 2]] * len(rows),
+                "n_tok": [nt for _, nt, _ in rows],
+                "msgid": [m for _, _, m in rows],
+                "rec_type": ["POS"] * len(rows),
+                "ident_value": [None] * len(rows),
+            }
+        )
+
+    # batch 1: disordered day-0 records, watermark still 0 -> all buffered
+    st = _FakeGroupState(wm_ms=0)
+    out1 = list(fn(("d1",), iter([batch_df([(12, 12, "a2"), (10, 10, "a0")])]), st))
+    assert out1 == []  # nothing released yet
+    _, _, _, buf = _decode_state(st.get)
+    assert sum(len(v["t"]) for v in buf.values()) == 2
+
+    # batch 2: one more record; watermark passed hour 13 -> hours 10,12
+    # release (sorted), hour 14 stays buffered
+    st.wm_ms = int((base + dt.timedelta(hours=13)).timestamp() * 1000)
+    out2 = list(fn(("d1",), iter([batch_df([(14, 14, "a3")])]), st))
+    released = pd.concat(out2, ignore_index=True)
+    assert list(released["msgid"]) == ["a0", "a2"]  # sorted release order
+    _, _, _, buf = _decode_state(st.get)
+    assert sum(len(v["t"]) for v in buf.values()) == 1  # only the suffix
+    assert st.timeout_set is not None
+
+    # batch 3: watermark into day 1 -> remainder releases, day 0 closes
+    st.wm_ms = int((base + dt.timedelta(days=1, hours=1)).timestamp() * 1000)
+    out3 = list(fn(("d1",), iter([batch_df([])]), st))
+    final = pd.concat(out3, ignore_index=True)
+    tagged = final[final["kind"] == "tagged"]
+    segmap = final[final["kind"] == "segmap"]
+    assert list(tagged["msgid"]) == ["a3"]
+    assert len(segmap) >= 1
+    _, _, _, buf = _decode_state(st.get)
+    assert buf == {}
+
+    # incremental releases == one-shot sorted kernel on the same records
+    all_frag = {
+        m: f
+        for m, f in zip(
+            list(released["msgid"]) + list(tagged["msgid"]),
+            list(released["frag_id"]) + list(tagged["frag_id"]),
+        )
+    }
+    ts = [10 * hour_us, 12 * hour_us, 14 * hour_us]
+    ts = [int((base - dt.datetime(1970, 1, 1)).total_seconds() * 1e6) + t for t in ts]
+    ids, _, _ = _fragment_loop(
+        "d1", ts, [10.0, 12.0, 14.0], [False] * 3, [False] * 3, [], 1, PARAMS
+    )
+    assert [all_frag["a0"], all_frag["a2"], all_frag["a3"]] == ids
