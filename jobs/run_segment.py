@@ -49,6 +49,17 @@ def parse_args(argv):
     )
     p.add_argument("--watermark", default="0 seconds")
     p.add_argument(
+        "--stream-mode",
+        choices=["low_latency", "day_close", "sorted_prefix"],
+        default="low_latency",
+        help="stream mode emission contract: low_latency (tagged rows emit "
+        "per microbatch; batch-identity for in-order feeds), day_close "
+        "(whole-day replay at watermark close; batch-identity under "
+        "arbitrary intra-day disorder), sorted_prefix (incremental "
+        "watermark-confirmed release; day_close's identity guarantee at "
+        "near-low_latency emission)",
+    )
+    p.add_argument(
         "--available-now",
         action="store_true",
         help="stream mode: drain currently-available input, then exit "
@@ -122,7 +133,9 @@ def main(argv=None):
             stream = stream.where(
                 F.to_date("timestamp").between(str(lo), str(hi))
             )
-        out = stream_segment(stream, params, watermark=args.watermark)
+        out = stream_segment(
+            stream, params, watermark=args.watermark, mode=args.stream_mode
+        )
         writer = (
             out.writeStream.foreachBatch(idempotent_batch_writer(args.output))
             .option("checkpointLocation", args.checkpoint)

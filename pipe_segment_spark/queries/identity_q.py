@@ -1102,6 +1102,45 @@ LEFT JOIN vmc m ON m.doc_id = s.doc_id AND m.vessel_id = s.vessel_id
 """
 
 
+def q_validate_vessel_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA check: no vessel_id may map to more than one ssvid (doc_id here)
+    — reference assets/validate_vessel_identity.sql.j2:1-17 (GROUP BY
+    vessel_id, HAVING COUNT(DISTINCT ssvid) > 1, boolean emptiness).
+
+    Returns one row: violation count + validity flag. Runs over the
+    vessels-daily map (same source the reference's segment_vessel asset
+    feeds the check from); the HAVING-side aggregate is a plain two-level
+    hash agg — partial map-side combine, one shuffle on vessel_id, then a
+    global count, so it scales as a linear scan at any corpus size."""
+    ident, segday = _engine_parts(spark, sf_dir)
+    vessels = _vessels_daily(_counts_daily(ident), segday)
+    bad = (
+        vessels.groupBy("vessel_id")
+        .agg(F.countDistinct("doc_id").alias("count_ssvid"))
+        .where(F.col("count_ssvid") > 1)
+    )
+    return bad.agg(
+        F.count("*").cast("long").alias("violations"),
+        (F.count("*") == F.lit(0)).alias("is_valid"),
+    )
+
+
+def _oracle_validate_vessel_identity() -> str:
+    return f"""
+WITH RECURSIVE {full_segmenter_ctes(DEFAULT_PARAMS)},
+{_IDENT_CTES.strip().rstrip()},
+{_VESSEL_CTES.strip().rstrip()}
+SELECT CAST(count(*) AS BIGINT) AS violations,
+       count(*) = 0 AS is_valid
+FROM (
+    SELECT vessel_id
+    FROM vessels
+    GROUP BY vessel_id
+    HAVING count(DISTINCT doc_id) > 1
+)
+"""
+
+
 def q_segment_vessel_daily_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual windowed form: aggregate the trailing 7 days
     only (windowStart() = processDate - 6) — the date filter prunes
@@ -1116,6 +1155,7 @@ QUERIES = {
     "segment_info": q_segment_info,
     "segment_vessel": q_segment_vessel,
     "vessel_info": q_vessel_info,
+    "validate_vessel_identity": q_validate_vessel_identity,
 }
 
 ORACLES = {
@@ -1125,4 +1165,5 @@ ORACLES = {
     "segment_info": _oracle_segment_info(),
     "segment_vessel": _oracle_segment_vessel(),
     "vessel_info": _oracle_vessel_info(),
+    "validate_vessel_identity": _oracle_validate_vessel_identity(),
 }

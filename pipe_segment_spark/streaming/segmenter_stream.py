@@ -163,16 +163,24 @@ def _close_pending_days(doc_id, open_segs, pending_frags, up_to_day_us, params):
     return out, open_segs, remaining
 
 
-def _merge_pending(pending, fid_m, t_m, nt_m, day_m):
+def _merge_pending(pending, fid_m, t_m, nt_m, day_m, mid_m):
     """Min/max-merge per-fragment boundary summaries into ``pending`` (in
     place). Inputs are pre-masked to POSITIONAL rows with a frag_id, in
     processed (sorted) order, so groupby first/last are the run's own
     boundaries; merging against stored values keeps the summary equal to
-    what a one-shot sorted run over the union would emit."""
+    what a one-shot sorted run over the union would emit.
+
+    Boundary ties resolve by the batch engine's comparator: fragment_base
+    picks boundary payloads with ``min_by/max_by(n_tok, struct(timestamp,
+    msgid))`` (operators/fragment.py:184-208), so when a later microbatch
+    carries a record at exactly the stored boundary timestamp (the kernel's
+    h == 0 join), the winner is the (timestamp, msgid)-max row, not
+    whichever run was processed last. msgid boundaries ride in the summary
+    for that comparison (None-safe: missing msgid compares as '')."""
     if len(fid_m) == 0:
         return
     upd = pd.DataFrame(
-        {"fid": fid_m, "t": t_m, "nt": nt_m, "day_us": day_m}
+        {"fid": fid_m, "t": t_m, "nt": nt_m, "day_us": day_m, "mid": mid_m}
     )
     agg = upd.groupby("fid", sort=False).agg(
         day_us=("day_us", "first"),
@@ -180,6 +188,8 @@ def _merge_pending(pending, fid_m, t_m, nt_m, day_m):
         last_us=("t", "last"),
         first_nt=("nt", "first"),
         last_nt=("nt", "last"),
+        first_mid=("mid", "first"),
+        last_mid=("mid", "last"),
         cnt=("t", "size"),
     )
     by_id = {f["frag_id"]: f for f in pending}
@@ -193,16 +203,23 @@ def _merge_pending(pending, fid_m, t_m, nt_m, day_m):
                 "last_us": int(row["last_us"]),
                 "first_n_tok": int(row["first_nt"]),
                 "last_n_tok": int(row["last_nt"]),
+                "first_msgid": row["first_mid"],
+                "last_msgid": row["last_mid"],
                 "msg_count": 0,
             }
             by_id[fid] = f
             pending.append(f)
-        if int(row["first_us"]) < f["first_us"]:
+        r_first = (int(row["first_us"]), row["first_mid"] or "")
+        r_last = (int(row["last_us"]), row["last_mid"] or "")
+        # older checkpoints may lack msgid boundaries: treat as ''
+        if r_first < (f["first_us"], f.get("first_msgid") or ""):
             f["first_us"] = int(row["first_us"])
             f["first_n_tok"] = int(row["first_nt"])
-        if int(row["last_us"]) > f["last_us"]:
+            f["first_msgid"] = row["first_mid"]
+        if r_last > (f["last_us"], f.get("last_msgid") or ""):
             f["last_us"] = int(row["last_us"])
             f["last_n_tok"] = int(row["last_nt"])
+            f["last_msgid"] = row["last_mid"]
         f["msg_count"] += int(row["cnt"])
 
 
@@ -398,6 +415,7 @@ def make_stateful_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                     ts_us_all[pos_mask],
                     batch["n_tok"].to_numpy()[pos_mask].astype("int64"),
                     day_us_all[pos_mask],
+                    batch["msgid"].to_numpy(dtype=object)[pos_mask],
                 )
 
             # close days that the watermark has fully passed
@@ -615,6 +633,7 @@ def make_sorted_prefix_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                 ts_us[pos],
                 n_tok[pos].astype("int64"),
                 np.full(int(pos.sum()), day_us, dtype="int64"),
+                pdf["msgid"].to_numpy(dtype=object)[pos],
             )
         return tagged
 

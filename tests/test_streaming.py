@@ -610,3 +610,77 @@ def test_sorted_prefix_state_bounded_by_suffix():
         "d1", ts, [10.0, 12.0, 14.0], [False] * 3, [False] * 3, [], 1, PARAMS
     )
     assert [all_frag["a0"], all_frag["a2"], all_frag["a3"]] == ids
+
+
+def test_merge_pending_boundary_tie_breaks_on_msgid():
+    """Boundary merges across microbatches resolve equal timestamps with the
+    batch engine's (timestamp, msgid) comparator (fragment_base's
+    min_by/max_by ordinal, operators/fragment.py:184-208) — NOT
+    last-run-wins. A tied-last_us record with a SMALLER msgid must not
+    steal last_n_tok; one with a LARGER msgid must."""
+    import numpy as np
+
+    from pipe_segment_spark.streaming.segmenter_stream import _merge_pending
+
+    day = 0
+    pending = []
+    # run 1: fragment f1 rows at t=100 (msgid m5) then t=200 (msgid m7)
+    _merge_pending(
+        pending,
+        np.array(["f1", "f1"], dtype=object),
+        np.array([100, 200], dtype="int64"),
+        np.array([10, 20], dtype="int64"),
+        np.array([day, day], dtype="int64"),
+        np.array(["m5", "m7"], dtype=object),
+    )
+    f = pending[0]
+    assert (f["last_us"], f["last_n_tok"], f["last_msgid"]) == (200, 20, "m7")
+    assert (f["first_us"], f["first_n_tok"], f["first_msgid"]) == (
+        100, 10, "m5",
+    )
+
+    # run 2: tied last boundary t=200 with SMALLER msgid m3 -> no steal
+    _merge_pending(
+        pending,
+        np.array(["f1"], dtype=object),
+        np.array([200], dtype="int64"),
+        np.array([99], dtype="int64"),
+        np.array([day], dtype="int64"),
+        np.array(["m3"], dtype=object),
+    )
+    assert (f["last_us"], f["last_n_tok"], f["last_msgid"]) == (200, 20, "m7")
+    assert f["msg_count"] == 3
+
+    # run 3: tied last boundary t=200 with LARGER msgid m9 -> wins
+    _merge_pending(
+        pending,
+        np.array(["f1"], dtype=object),
+        np.array([200], dtype="int64"),
+        np.array([42], dtype="int64"),
+        np.array([day], dtype="int64"),
+        np.array(["m9"], dtype=object),
+    )
+    assert (f["last_us"], f["last_n_tok"], f["last_msgid"]) == (200, 42, "m9")
+
+    # tied FIRST boundary t=100, smaller msgid m1 -> takes first slot
+    _merge_pending(
+        pending,
+        np.array(["f1"], dtype=object),
+        np.array([100], dtype="int64"),
+        np.array([7], dtype="int64"),
+        np.array([day], dtype="int64"),
+        np.array(["m1"], dtype=object),
+    )
+    assert (f["first_us"], f["first_n_tok"], f["first_msgid"]) == (
+        100, 7, "m1",
+    )
+    # a strictly later timestamp always wins regardless of msgid
+    _merge_pending(
+        pending,
+        np.array(["f1"], dtype=object),
+        np.array([300], dtype="int64"),
+        np.array([30], dtype="int64"),
+        np.array([day], dtype="int64"),
+        np.array(["m0"], dtype=object),
+    )
+    assert (f["last_us"], f["last_n_tok"], f["last_msgid"]) == (300, 30, "m0")
