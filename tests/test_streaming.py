@@ -73,16 +73,20 @@ def _feed(spark, in_dir, path, idx):
     )
 
 
-def _run_stream(spark, in_dir, out_dir, ckpt):
-    stream = (
+def _run_stream(spark, in_dir, out_dir, ckpt, writer=None, max_files=None):
+    reader = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
-        .parquet(in_dir)
     )
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.parquet(in_dir)
     out = stream_segment(stream, PARAMS)
     return (
-        out.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+        out.writeStream.foreachBatch(
+            writer or idempotent_batch_writer(out_dir)
+        )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -684,3 +688,96 @@ def test_merge_pending_boundary_tie_breaks_on_msgid():
         np.array(["m0"], dtype=object),
     )
     assert (f["last_us"], f["last_n_tok"], f["last_msgid"]) == (300, 30, "m0")
+
+
+@pytest.mark.parametrize("crash_mode", ["partial_write", "after_write"])
+def test_exactly_once_crash_mid_microbatch(spark, stream_case, tmp_path, crash_mode):
+    """Chaos: kill the drain INSIDE a microbatch — after the sink wrote a
+    partial (or complete) batch_id=N directory but BEFORE the checkpoint
+    commit — then restart from the checkpoint and drain to completion.
+
+    This is the crashed-run half of the reference's idempotency claim
+    (truncate-then-write, pipeline.py:142-156): the offset log pins the
+    replayed batch to the same input files, the stateful operator
+    recomputes the same deterministic rows, and the partition-scoped
+    dynamic overwrite replaces the torn batch_id=N directory wholesale —
+    no dupes, no loss. Final sink must equal the one-shot batch engine.
+
+    ``partial_write`` leaves a half-written partition (torn files, no
+    complete row set); ``after_write`` crashes with the sink fully
+    written but the commit log behind it."""
+    import pyspark.errors
+
+    tmpdir, full, _, paths = stream_case
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, p in enumerate(paths):
+        _feed(spark, in_dir, p, i)
+
+    inner = idempotent_batch_writer(out_dir)
+    crashed = {"fired": False, "batch_id": None, "rows_written": None}
+
+    def faulty(df, batch_id):
+        if batch_id == 1 and not crashed["fired"]:
+            crashed["fired"] = True
+            crashed["batch_id"] = batch_id
+            if crash_mode == "partial_write":
+                half = df.limit(max(1, df.count() // 2))
+                inner(half, batch_id)
+                crashed["rows_written"] = half.count()
+            else:
+                inner(df, batch_id)
+                crashed["rows_written"] = df.count()
+            raise RuntimeError("injected crash before checkpoint commit")
+        inner(df, batch_id)
+
+    # one file per trigger so the crash lands mid-drain with real
+    # committed batches before it and unprocessed input after it
+    q = _run_stream(spark, in_dir, out_dir, ckpt, writer=faulty, max_files=1)
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        q.awaitTermination()
+    assert crashed["fired"] and not q.isActive
+    # the torn sink state is visible pre-restart: batch dir exists
+    assert os.path.isdir(os.path.join(out_dir, "batch_id=1"))
+
+    # restart from the same checkpoint with the healthy writer; the failed
+    # batch replays (same offsets) and overwrites its own partition
+    q = _run_stream(spark, in_dir, out_dir, ckpt, writer=faulty, max_files=1)
+    _await(q)
+
+    result = read_sink(spark, out_dir)
+    got_tagged = {
+        r["msgid"]: r["frag_id"]
+        for r in result.where(F.col("kind") == "tagged").collect()
+    }
+    # no dupes: every (kind, msgid) appears exactly once across batch dirs
+    dupes = (
+        result.where(F.col("kind") == "tagged")
+        .groupBy("msgid")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+    got_segmap = {
+        r["frag_id"]: (r["seg_id"], r["date"])
+        for r in result.where(F.col("kind") == "segmap").collect()
+    }
+    seg_dupes = (
+        result.where(F.col("kind") == "segmap")
+        .groupBy("frag_id", "date")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert seg_dupes == 0
+
+    exp_tagged, exp_segmap = _batch_expected(full)
+    assert got_tagged == exp_tagged
+    open_days = {max(d for _, d in exp_segmap.values())}
+    exp_closed = {f: v for f, v in exp_segmap.items() if v[1] not in open_days}
+    for f, v in got_segmap.items():
+        assert exp_segmap[f] == v, f
+    assert set(got_segmap) >= set(exp_closed)
