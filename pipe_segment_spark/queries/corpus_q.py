@@ -24,6 +24,47 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_ROW_COUNT_CACHE: dict = {}
+
+
+def table_row_count(sf_dir: str, name: str, spark=None) -> int:
+    """Table cardinality from parquet FOOTER metadata — the local analog of
+    catalog statistics (Iceberg manifests / metastore table stats carry
+    exactly this number at cluster scale). O(files) footer reads on the
+    driver, NO Spark scan job — removes the extra full-table count the ANN
+    family ran per query to derive LSH width / probe tier (VERDICT r03
+    what's-wrong #2). Cached per (path, latest mtime) so repeated queries
+    in a session derive N once; falls back to a Spark count if the footers
+    aren't locally readable."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            stamp = max((os.path.getmtime(f) for f in files), default=0.0)
+        else:
+            files = [path]
+            stamp = os.path.getmtime(path)
+        key = (path, stamp, tuple(files))
+        hit = _ROW_COUNT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        import pyarrow.parquet as pq
+
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        _ROW_COUNT_CACHE[key] = n
+        return n
+    except Exception:
+        if spark is None:
+            raise
+        return spark.read.parquet(path).count()
+
+
 # words / shingles (3-word) shared derivation. WORDS_EXPR is materialized
 # into a column `w` BEFORE shingling: referencing the split inside the
 # transform lambda would re-evaluate it per element (O(words^2) per doc).
@@ -395,6 +436,31 @@ _D_TIER = (
     f"ELSE 3 END AS t FROM nb"
 )
 
+# margin-ranked multiprobe (VERDICT r03 ask #6): the probe COUNT stays the
+# tier system's (same candidate budget), but the probe SET is query-
+# adaptive — the P lowest-margin-score perturbations of the query's own
+# bucket, where a perturbation's score is the sum of |emb[j] - emb[j+8]|
+# over its flipped bits (the classic multiprobe heuristic: a bit whose
+# hyperplane the query sits closest to is the likeliest to be wrong).
+# Perturbations draw from all 2^L subsets of the L lowest-margin bits.
+# Margins are quantized to integers (floor(|diff| * 2^20)) so scores are
+# order-independent integer sums — bit-identical between Spark and the
+# DuckDB twin regardless of summation order.
+ANN_MARGIN_POOL_BITS = 10
+MARGIN_SCALE = 1 << 20
+
+
+def probe_count_for(n: int, bits: int) -> int:
+    """Probe budget per query: the tier system's probe count (own bucket +
+    all <=t-bit flips), capped by the perturbation pool size."""
+    t = probe_tier_for(n, bits)
+    p = 1 + bits
+    if t >= 2:
+        p += bits * (bits - 1) // 2
+    if t >= 3:
+        p += bits * (bits - 1) * (bits - 2) // 6
+    return min(p, 1 << min(bits, ANN_MARGIN_POOL_BITS))
+
 
 def _bucket_expr_spark(bits: int = LSH_BITS):
     """Sign-comparison hyperplane bucket: bit j set iff emb[j] > emb[(j+8)%64]
@@ -431,42 +497,54 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_cosine_topk`` so recall is directly measurable on the same
     fixtures (tests/test_corpus_recall.py records it in PLANS.md).
 
-    Multiprobe depth is candidate-budget-driven (``probe_tier_for``): the
-    probe set is the query's own bucket plus every <=t-bit flip, with t the
-    smallest tier whose expected candidates reach ANN_TARGET_CANDIDATES —
-    so a sparse small corpus probes deeper (recall holds) while production
-    bucket populations stay at ~bits probes per query."""
+    Probe depth is candidate-budget-driven (``probe_tier_for`` →
+    ``probe_count_for``) and the probe ORDER is margin-ranked (ask #6):
+    each query probes the P perturbations of its own bucket with the
+    smallest summed bit margins (quantized-integer scores, all 2^L subsets
+    of the L lowest-margin bits as the pool), P unchanged from the tier
+    system — the same candidate budget spent on the likeliest buckets.
+    Everything stays in Catalyst expressions (array_sort / aggregate over
+    higher-order lambdas); no Python in the plan."""
     e = _embs(spark, sf_dir)
-    n = e.count()
+    n = table_row_count(sf_dir, "embeddings", spark)
     bits = lsh_bits_for(n)
-    tier = probe_tier_for(n, bits)
+    pool_bits = min(bits, ANN_MARGIN_POOL_BITS)
+    p_cnt = probe_count_for(n, bits)
     e = e.withColumn("bucket", _bucket_expr_spark(bits))
+    # per-query quantized margins, ranked ascending (ties by bit index):
+    # rk[i] = (mq, b) of the i-th closest hyperplane
+    rk_expr = (
+        f"array_sort(transform(sequence(0, {bits - 1}), j -> struct("
+        "cast(floor(abs(cast(element_at(embedding, j + 1) as double) - "
+        "cast(element_at(embedding, (j + 8) % 64 + 1) as double)) "
+        f"* {MARGIN_SCALE}) as bigint) as mq, j as b)))"
+    )
     q = e.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.expr(rk_expr).alias("rk"),
     )
-    # a candidate lives in exactly one bucket and probe buckets are
-    # distinct, so no pair dedup needed
-    flips = [1 << j for j in range(bits)]
-    if tier >= 2:
-        flips += [
-            (1 << j) | (1 << k)
-            for j in range(bits)
-            for k in range(j + 1, bits)
-        ]
-    if tier >= 3:
-        flips += [
-            (1 << j) | (1 << k) | (1 << l)
-            for j in range(bits)
-            for k in range(j + 1, bits)
-            for l in range(k + 1, bits)
-        ]
-    probe_arr = F.array(
-        F.col("q_bucket"),
-        *[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in flips],
+    # perturbation s (bitmask over ranked positions) -> (score, real mask);
+    # keep the P best by (score asc, mask asc). s=0 is the own bucket at
+    # score 0, so it is always probed first. A candidate lives in exactly
+    # one bucket and real masks are distinct, so no pair dedup needed.
+    cand_expr = (
+        f"transform(sequence(0, {(1 << pool_bits) - 1}), s -> struct("
+        f"aggregate(sequence(0, {pool_bits - 1}), cast(0 as bigint), "
+        "(acc, i) -> acc + if((shiftright(s, i) & 1) = 1, "
+        "element_at(rk, i + 1).mq, cast(0 as bigint))) as sc, "
+        f"aggregate(sequence(0, {pool_bits - 1}), 0, "
+        "(acc, i) -> acc + if((shiftright(s, i) & 1) = 1, "
+        "shiftleft(1, element_at(rk, i + 1).b), 0)) as rm))"
     )
-    probes = q.select("q_id", "q_emb", F.explode(probe_arr).alias("pb"))
+    probe_expr = (
+        f"transform(slice(array_sort({cand_expr}), 1, {p_cnt}), "
+        "x -> q_bucket ^ x.rm)"
+    )
+    probes = q.select(
+        "q_id", "q_emb", F.explode(F.expr(probe_expr)).alias("pb")
+    )
     c = e.select(
         F.col("bucket"),
         F.col("vec_id").alias("c_id"),
@@ -491,41 +569,55 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_ANN_BUCKETED_TOPK = f"""
 WITH nb AS ({_D_BITS}),
+tiersel AS ({_D_TIER}),
+pc AS (
+    -- probe budget P: the tier system's probe count, capped by the
+    -- perturbation pool (identical to probe_count_for); L = pool width
+    SELECT least(
+             CASE WHEN t = 1 THEN 1 + bits
+                  WHEN t = 2 THEN 1 + bits + bits * (bits - 1) // 2
+                  ELSE 1 + bits + bits * (bits - 1) // 2
+                       + bits * (bits - 1) * (bits - 2) // 6 END,
+             1 << least(bits, {ANN_MARGIN_POOL_BITS})) AS p,
+           least(bits, {ANN_MARGIN_POOL_BITS}) AS l
+    FROM nb, tiersel
+),
 e AS (
     SELECT vec_id, label, embedding, {_D_BUCKET_DYN} AS bucket
     FROM embeddings
 ),
 q AS (
-    SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+    -- quantized margins ranked ascending (ties by bit index): twin of the
+    -- engine's rk column; struct field order (mq, b) drives list_sort
+    SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket,
+           list_sort(list_transform(range(0, (SELECT bits FROM nb)),
+             j -> struct_pack(
+               mq := CAST(floor(abs(
+                 CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                 - CAST(embedding[CAST((j + 8) % 64 + 1 AS INT)] AS DOUBLE))
+                 * {MARGIN_SCALE}) AS BIGINT),
+               b := j))) AS rk
     FROM e WHERE vec_id % 97 = 0
 ),
-tiersel AS ({_D_TIER}),
-flips AS (
-    -- bits captured as a plain column (DuckDB forbids subqueries inside
-    -- lambda bodies); k>j pairs / l>k>j triples via CASE NULL +
-    -- list_filter, gated on the candidate-budget probe tier t
-    SELECT list_prepend(CAST(0 AS BIGINT),
-        list_transform(range(0, bits), j -> 1 << j)
-        || CASE WHEN t >= 2 THEN list_filter(
-             flatten(list_transform(range(0, bits),
-               j -> list_transform(range(0, bits),
-                 k -> CASE WHEN k > j THEN (1 << j) | (1 << k) END))),
-             m -> m IS NOT NULL)
-           ELSE CAST([] AS BIGINT[]) END
-        || CASE WHEN t >= 3 THEN list_filter(
-             flatten(flatten(list_transform(range(0, bits),
-               j -> list_transform(range(0, bits),
-                 k -> list_transform(range(0, bits),
-                   l -> CASE WHEN k > j AND l > k
-                        THEN (1 << j) | (1 << k) | (1 << l) END))))),
-             m -> m IS NOT NULL)
-           ELSE CAST([] AS BIGINT[]) END) AS masks
-    FROM nb, tiersel
+masks AS (SELECT unnest(range(0, 1 << (SELECT l FROM pc))) AS s),
+cand AS (
+    SELECT q_id, q_emb, q_bucket,
+           list_sum(list_transform(range(0, (SELECT l FROM pc)), i ->
+             CASE WHEN (s >> i) & 1 = 1
+                  THEN rk[CAST(i + 1 AS INT)].mq ELSE 0 END)) AS sc,
+           list_sum(list_transform(range(0, (SELECT l FROM pc)), i ->
+             CASE WHEN (s >> i) & 1 = 1
+                  THEN 1 << rk[CAST(i + 1 AS INT)].b ELSE 0 END)) AS rm
+    FROM q, masks
 ),
 probes AS (
     SELECT q_id, q_emb,
-           CAST(xor(CAST(q_bucket AS BIGINT), m) AS INT) AS pb
-    FROM q, (SELECT unnest(masks) AS m FROM flips)
+           CAST(xor(CAST(q_bucket AS BIGINT), rm) AS INT) AS pb
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY sc, rm) AS pr
+        FROM cand
+    ) WHERE pr <= (SELECT p FROM pc)
 ),
 pairs AS (
     SELECT p.q_id, c.vec_id AS c_id, c.label AS c_label,
@@ -574,7 +666,7 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     version degraded to O(N^2/256) pair joins at 100 TB). The oracle derives
     the identical width from count(*)."""
     e = _embs(spark, sf_dir)
-    bits = lsh_bits_for(e.count())
+    bits = lsh_bits_for(table_row_count(sf_dir, "embeddings", spark))
     e = e.withColumn("bucket", _bucket_expr_spark(bits))
     a = e.select(
         F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")

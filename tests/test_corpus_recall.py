@@ -135,5 +135,32 @@ def test_bucketed_topk_recall_at_realistic_population(spark, tmp_path):
     print(f"bucketed-topk recall@5 @70k/12bits = {recall:.3f} ({hits}/{total})")
     # md5-uniform vectors are the adversarial case for LSH (no cluster
     # structure at all); the bucketed path must still find a meaningful
-    # share of the exact top-5
-    assert recall >= 0.15
+    # share of the exact top-5. Margin-ranked probing (r4) lifted this
+    # fixture 0.183 -> 0.245 at the same probe budget; the floor locks in
+    # most of that gain.
+    assert recall >= 0.20
+
+
+def test_probe_count_budget_and_row_count_source():
+    """probe_count_for keeps the tier system's probe budget (capped by the
+    2^L perturbation pool), and table_row_count derives N from parquet
+    footers without a Spark job (VERDICT r03 asks #6/#7)."""
+    from pipe_segment_spark.queries.corpus_q import (
+        ANN_MARGIN_POOL_BITS,
+        probe_count_for,
+        table_row_count,
+    )
+
+    # gate fixture: tier 3 at 500/8 -> 1+8+28+56 = 93 probes (pool 256)
+    assert probe_count_for(500, 8) == 93
+    # 70k/12: tier 2 -> 1+12+66 = 79 probes
+    assert probe_count_for(70_000, 12) == 79
+    # production: tier 1 -> 1+bits probes
+    assert probe_count_for(10**9, 24) == 25
+    # pool cap: P never exceeds 2^min(bits, POOL_BITS)
+    assert probe_count_for(1, 8) <= 1 << min(8, ANN_MARGIN_POOL_BITS)
+
+    n = table_row_count("/root/testdata/sf0.001", "embeddings")
+    assert n > 0
+    # cached second call returns the identical value
+    assert table_row_count("/root/testdata/sf0.001", "embeddings") == n
