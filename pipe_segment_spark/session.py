@@ -53,6 +53,13 @@ def _default_shuffle_partitions(cores: int | str) -> int:
         n = int(cores)
     except (TypeError, ValueError):
         n = os.cpu_count() or 8
-    # 2x cores: enough parallelism for local mode; on a real cluster this is
-    # superseded by AQE's coalescing from a high initial partition count.
-    return max(2 * n, 8)
+    # 1x cores (r4 A/B, BENCH/BASELINE.md "shuffle-partition sweep"): the
+    # hot paths are groupBy().applyInPandas exchanges whose per-partition
+    # cost is dominated by Python-worker/Arrow batch overhead — 2x cores
+    # means two task waves of that overhead per stage (measured: flagship
+    # 11.6s @64 partitions vs 9.7s @32 on 32 cores; 128/256 worse still).
+    # Local-mode logic only: on a real cluster this is superseded by AQE
+    # coalescing from a high initial partition count, where target
+    # partition BYTES (advisoryPartitionSizeInBytes), not a wave count,
+    # sets the granularity.
+    return max(n, 8)
