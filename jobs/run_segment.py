@@ -50,14 +50,17 @@ def parse_args(argv):
     p.add_argument("--watermark", default="0 seconds")
     p.add_argument(
         "--stream-mode",
-        choices=["low_latency", "day_close", "sorted_prefix"],
+        choices=["low_latency", "day_close", "sorted_prefix", "tws_sorted_prefix"],
         default="low_latency",
         help="stream mode emission contract: low_latency (tagged rows emit "
         "per microbatch; batch-identity for in-order feeds), day_close "
         "(whole-day replay at watermark close; batch-identity under "
         "arbitrary intra-day disorder), sorted_prefix (incremental "
         "watermark-confirmed release; day_close's identity guarantee at "
-        "near-low_latency emission)",
+        "near-low_latency emission), tws_sorted_prefix (same semantics on "
+        "the Spark 4 transformWithState operator: append-only RocksDB "
+        "ListState buffer, per-batch state I/O bounded by the arriving "
+        "batch + released suffix)",
     )
     p.add_argument(
         "--available-now",

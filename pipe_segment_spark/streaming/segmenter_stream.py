@@ -226,6 +226,42 @@ def _merge_pending(pending, fid_m, t_m, nt_m, day_m, mid_m):
 _BUF_COLS = ("t", "nt", "msgid", "rec", "hp", "src", "iv")
 
 
+def _release_day(doc_id, day_us, rel_cols, frag_days, pending, params):
+    """Run ONE day's released columnar slice through the kernel with carried
+    (open-fragments, counter) state: 6-key sort -> _fragment_loop ->
+    boundary-summary merge into ``pending``. Returns the tagged output
+    frame. Shared by the sorted_prefix applyInPandasWithState mode and the
+    transformWithState variant (segmenter_tws.py) — the release semantics
+    (and therefore the batch byte-identity argument) are identical."""
+    import numpy as np
+
+    from pipe_segment_spark.operators.kernel import _fragment_loop
+
+    pdf = _sorted_pdf_from_cols(doc_id, rel_cols)
+    ts_us = pdf["t_us"].to_numpy("int64")
+    n_tok = pdf["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
+    noise = ~pdf["has_payload"].to_numpy(dtype=bool) | np.isnan(n_tok)
+    is_ident = pdf["rec_type"].to_numpy() == "IDENT"
+    of, nk = frag_days.get(day_us, ([], 1))
+    frag_ids, of, nk = _fragment_loop(
+        doc_id, ts_us, n_tok, noise, is_ident, of, nk, params
+    )
+    frag_days[day_us] = (of, nk)
+    fid_arr = np.array(frag_ids, dtype=object)
+    pos = np.not_equal(fid_arr, None) & (
+        pdf["rec_type"].to_numpy(dtype=object) != "IDENT"
+    )
+    _merge_pending(
+        pending,
+        fid_arr[pos],
+        ts_us[pos],
+        n_tok[pos].astype("int64"),
+        np.full(int(pos.sum()), day_us, dtype="int64"),
+        pdf["msgid"].to_numpy(dtype=object)[pos],
+    )
+    return _tagged_frame(doc_id, pdf, fid_arr)
+
+
 def _consume_seeds(batch, open_segs):
     """Strip SEED rows (reference ReadFragments bootstrap: seg_id in
     ident_value, last boundary in timestamp/n_tok) into open_segs."""
@@ -591,8 +627,6 @@ def make_sorted_prefix_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
     def release_prefix(doc_id, buf, frag_days, pending, release_below_us):
         import numpy as np
 
-        from pipe_segment_spark.operators.kernel import _fragment_loop
-
         tagged = []
         for day_us in sorted(buf):
             cols = buf[day_us]
@@ -612,28 +646,8 @@ def make_sorted_prefix_segmenter(params: SegmenterParams = DEFAULT_PARAMS):
                     c: np.asarray(cols[c], dtype=object)[keep].tolist()
                     for c in _BUF_COLS
                 }
-            pdf = _sorted_pdf_from_cols(doc_id, rel_cols)
-            ts_us = pdf["t_us"].to_numpy("int64")
-            n_tok = pdf["n_tok"].to_numpy(dtype="float64", na_value=np.nan)
-            noise = ~pdf["has_payload"].to_numpy(dtype=bool) | np.isnan(n_tok)
-            is_ident = pdf["rec_type"].to_numpy() == "IDENT"
-            of, nk = frag_days.get(day_us, ([], 1))
-            frag_ids, of, nk = _fragment_loop(
-                doc_id, ts_us, n_tok, noise, is_ident, of, nk, params
-            )
-            frag_days[day_us] = (of, nk)
-            fid_arr = np.array(frag_ids, dtype=object)
-            tagged.append(_tagged_frame(doc_id, pdf, fid_arr))
-            pos = np.not_equal(fid_arr, None) & (
-                pdf["rec_type"].to_numpy(dtype=object) != "IDENT"
-            )
-            _merge_pending(
-                pending,
-                fid_arr[pos],
-                ts_us[pos],
-                n_tok[pos].astype("int64"),
-                np.full(int(pos.sum()), day_us, dtype="int64"),
-                pdf["msgid"].to_numpy(dtype=object)[pos],
+            tagged.append(
+                _release_day(doc_id, day_us, rel_cols, frag_days, pending, params)
             )
         return tagged
 
@@ -720,12 +734,22 @@ def stream_segment(
         the watermark confirms them (sorted, carried per-day state) —
         day_close's byte-identity guarantee with near-low_latency emission
         and state bounded by the out-of-order suffix, not the day.
+      - ``tws_sorted_prefix``: sorted_prefix semantics on the Spark 4
+        transformWithState operator (segmenter_tws.py) — the record buffer
+        is an append-only RocksDB ListState, so per-batch state I/O is
+        O(arriving batch + released suffix) instead of O(whole buffer).
 
     Event-time timeout semantics (all modes): a fired timeout DRAINS all
     held state (close-everything), matching the batch engine at end of a
     bounded feed. Continuous deployments should size ``watermark`` to the
     feed's real disorder so day closes happen on the data path.
     """
+    if mode == "tws_sorted_prefix":
+        from pipe_segment_spark.streaming.segmenter_tws import (
+            transform_with_state_segmenter,
+        )
+
+        return transform_with_state_segmenter(records_stream, params, watermark)
     try:
         fn = _MODE_MAKERS[mode](params)
     except KeyError:

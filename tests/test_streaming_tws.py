@@ -1,0 +1,336 @@
+"""transformWithState sorted_prefix mode (segmenter_tws.py).
+
+The operator's Python protocol layer needs ``google.protobuf`` (the TWS
+state-server wire format), which this sandbox does not ship — so the
+end-to-end path is ENVIRONMENT-GATED (xfail/skip with the recorded reason,
+same category as the Iceberg runtime jar). The processor LOGIC is fully
+tested here against fake state primitives: byte-identity of its releases
+with the applyInPandasWithState sorted_prefix kernel on the same batch
+sequence + watermark schedule, suffix-bounded ListState, O(batch) appends
+(no rewrite when nothing releases), and the drain contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pipe_segment_spark.config import SegmenterParams
+
+PARAMS = SegmenterParams()
+BASE = dt.datetime(2024, 1, 1)
+
+
+# --- fakes for the TWS state primitives --------------------------------
+
+
+class FakeListState:
+    def __init__(self):
+        self.rows: list[tuple] = []
+        self.appends = 0
+        self.rewrites = 0
+
+    def exists(self):
+        return bool(self.rows)
+
+    def get(self):
+        return iter(list(self.rows))
+
+    def put(self, new):
+        self.rewrites += 1
+        self.rows = list(new)
+
+    def appendValue(self, row):
+        self.appends += 1
+        self.rows.append(row)
+
+    def appendList(self, new):
+        self.appends += 1
+        self.rows.extend(new)
+
+    def clear(self):
+        self.rows = []
+
+
+class FakeValueState:
+    def __init__(self):
+        self.val = None
+
+    def exists(self):
+        return self.val is not None
+
+    def get(self):
+        return self.val
+
+    def update(self, v):
+        self.val = v
+
+    def clear(self):
+        self.val = None
+
+
+class FakeHandle:
+    def __init__(self):
+        self.list_states: dict[str, FakeListState] = {}
+        self.value_states: dict[str, FakeValueState] = {}
+        self.timers: list[int] = []
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.list_states.setdefault(name, FakeListState())
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.value_states.setdefault(name, FakeValueState())
+
+    def listTimers(self):
+        return iter(list(self.timers))
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.remove(ts)
+
+
+class FakeTimerValues:
+    def __init__(self, wm_ms):
+        self.wm_ms = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self.wm_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return 0
+
+
+class FakeExpiredTimerInfo:
+    def __init__(self, ts):
+        self.ts = ts
+
+    def getExpiryTimeInMs(self):
+        return self.ts
+
+
+# --- shared fixture machinery ------------------------------------------
+
+
+def _batch_df(rows):
+    """rows: (hours_offset, n_tok, msgid)"""
+    return pd.DataFrame(
+        {
+            "doc_id": ["d1"] * len(rows),
+            "source": ["s"] * len(rows),
+            "timestamp": [BASE + dt.timedelta(hours=h) for h, *_ in rows],
+            "tokens": [[1, 2]] * len(rows),
+            "n_tok": [nt for _, nt, _ in rows],
+            "msgid": [m for _, _, m in rows],
+            "rec_type": ["POS"] * len(rows),
+            "ident_value": [None] * len(rows),
+        }
+    )
+
+
+def _wm(hours):
+    return int((BASE + dt.timedelta(hours=hours)).timestamp() * 1000)
+
+
+FEED = [
+    # (batch rows, watermark_ms at batch time) — intra-day disorder across
+    # batches + a day-2 record that closes day 0/1
+    ([(12, 12, "a2"), (10, 10, "a0")], 0),
+    ([(14, 14, "a3"), (11, 11, "a1")], _wm(9)),
+    ([(30, 30, "b0"), (13, 13, "a2b")], _wm(13)),
+    ([(52, 52, "c0")], _wm(31)),
+]
+
+
+def _drive_tws(feed):
+    from pipe_segment_spark.streaming.segmenter_tws import SortedPrefixProcessor
+
+    proc = SortedPrefixProcessor(PARAMS)
+    handle = FakeHandle()
+    proc.init(handle)
+    out = []
+    for rows, wm in feed:
+        out.extend(
+            proc.handleInputRows(
+                ("d1",), iter([_batch_df(rows)]), FakeTimerValues(wm)
+            )
+        )
+    # drain: fire the registered timer (bounded-feed contract)
+    assert handle.timers, "processor must keep a close timer while holding state"
+    out.extend(
+        proc.handleExpiredTimer(
+            ("d1",), FakeTimerValues(_wm(60)), FakeExpiredTimerInfo(handle.timers[0])
+        )
+    )
+    return pd.concat(out, ignore_index=True), handle
+
+
+def _drive_apipws(feed):
+    """Same feed through the applyInPandasWithState sorted_prefix kernel."""
+    from tests.test_streaming import _FakeGroupState
+    from pipe_segment_spark.streaming.segmenter_stream import (
+        make_sorted_prefix_segmenter,
+    )
+
+    fn = make_sorted_prefix_segmenter(PARAMS)
+    st = _FakeGroupState(wm_ms=0)
+    out = []
+    for rows, wm in feed:
+        st.wm_ms = wm
+        out.extend(fn(("d1",), iter([_batch_df(rows)]), st))
+    st.hasTimedOut = True
+    out.extend(fn(("d1",), iter([]), st))
+    return pd.concat(out, ignore_index=True)
+
+
+def _canon(df):
+    tagged = sorted(
+        (r["msgid"], r["frag_id"])
+        for _, r in df[df["kind"] == "tagged"].iterrows()
+    )
+    segmap = sorted(
+        (r["frag_id"], r["seg_id"], r["date"], r["msg_count"], r["first_us"],
+         r["last_us"])
+        for _, r in df[df["kind"] == "segmap"].iterrows()
+    )
+    return tagged, segmap
+
+
+# --- tests --------------------------------------------------------------
+
+
+def test_tws_processor_equals_sorted_prefix_kernel():
+    """Logic-level mode equivalence: the TWS processor and the
+    applyInPandasWithState sorted_prefix kernel produce IDENTICAL tagged +
+    segmap outputs on the same batch sequence and watermark schedule
+    (shared _release_day makes this structural, the test pins it)."""
+    tws_df, _ = _drive_tws(FEED)
+    ap_df = _drive_apipws(FEED)
+    assert _canon(tws_df) == _canon(ap_df)
+    # sanity: the feed exercised both release-with-suffix and day closes
+    assert (tws_df["kind"] == "segmap").sum() >= 2
+    assert (tws_df["kind"] == "tagged").sum() == 7
+
+
+def test_tws_liststate_io_is_append_bounded():
+    """The design claim: buffering is O(batch) appends; the ListState is
+    REWRITTEN only when a release leaves an out-of-order suffix, never on
+    a plain buffering batch (VERDICT r03 ask #5's round-trip, eliminated
+    structurally)."""
+    from pipe_segment_spark.streaming.segmenter_tws import SortedPrefixProcessor
+
+    proc = SortedPrefixProcessor(PARAMS)
+    handle = FakeHandle()
+    proc.init(handle)
+    buf = handle.list_states["buf"]
+
+    # wm=0 batches: appends only — no reads materialize a rewrite
+    list(proc.handleInputRows(("d1",), iter([_batch_df([(10, 10, "a0")])]),
+                              FakeTimerValues(0)))
+    list(proc.handleInputRows(("d1",), iter([_batch_df([(12, 12, "a1")])]),
+                              FakeTimerValues(0)))
+    assert buf.appends == 2 and buf.rewrites == 0 and len(buf.rows) == 2
+
+    # wm below the oldest buffered record: min_t gate skips even the read,
+    # state unchanged
+    list(proc.handleInputRows(("d1",), iter([_batch_df([(14, 14, "a2")])]),
+                              FakeTimerValues(_wm(9))))
+    assert buf.rewrites == 0 and len(buf.rows) == 3
+
+    # wm inside the buffered range: release the prefix, rewrite = suffix only
+    list(proc.handleInputRows(("d1",), iter([_batch_df([(16, 16, "a3")])]),
+                              FakeTimerValues(_wm(13))))
+    assert buf.rewrites == 1
+    assert [r[2] for r in buf.rows] == ["a2", "a3"]  # suffix only
+
+    # full release clears instead of rewriting
+    list(proc.handleInputRows(("d1",), iter([_batch_df([])]),
+                              FakeTimerValues(_wm(40))))
+    assert buf.rows == []
+
+
+def test_tws_mode_reachable_from_stream_segment(spark, tmp_path):
+    """End-to-end operator wiring — ENVIRONMENT-GATED: the TWS python
+    runner needs google.protobuf, which this sandbox lacks. When the
+    runner can't initialize, the failure is exactly that recorded
+    dependency (and this test documents it); where protobuf exists the
+    drain must equal the batch engine like every other mode."""
+    import os
+    from pyspark.sql import functions as F
+
+    from pipe_segment_spark.pipeline import run_batch_pipeline
+    from pipe_segment_spark.sources.token_stream import token_stream
+    from pipe_segment_spark.streaming.segmenter_stream import (
+        INPUT_SCHEMA_DDL,
+        stream_segment,
+    )
+    from pipe_segment_spark.streaming.sink import (
+        idempotent_batch_writer,
+        read_sink,
+    )
+    from tests.conftest import SF_DIR
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+    if not have_protobuf:
+        pytest.skip(
+            "transformWithState's python runner requires google.protobuf "
+            "(the state-server wire format) — absent in this sandbox, so "
+            "the TWS query terminates without processing (observed: clean "
+            "'Stopped' with no output; a fresh session surfaces "
+            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE citing the "
+            "protobuf import). Environment-gated like the Iceberg jar; "
+            "processor logic covered by the fake-driven tests above."
+        )
+
+    df = token_stream(spark, SF_DIR)
+    day0 = str(
+        df.select(F.min(F.to_date("timestamp")).alias("d")).collect()[0]["d"]
+    )
+    sample = df.where(F.to_date("timestamp") <= day0)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    sample.coalesce(1).write.parquet(os.path.join(in_dir, "feed_0"))
+    q = (
+        spark.readStream.schema(INPUT_SCHEMA_DDL)
+        .parquet(in_dir)
+        .transform(lambda d: stream_segment(d, PARAMS, mode="tws_sorted_prefix"))
+        .writeStream.foreachBatch(idempotent_batch_writer(str(tmp_path / "out")))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+        err = q.exception()  # awaitTermination(timeout) does not raise
+        if err is not None:
+            raise err
+    except Exception as e:
+        if not have_protobuf and (
+            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE" in str(e)
+            or "TransformWithStateInPySpark driver worker exited" in str(e)
+            or "protobuf" in str(e)
+        ):
+            pytest.skip(
+                "transformWithState runner requires google.protobuf — "
+                "absent in this sandbox (environment-gated, like the "
+                "Iceberg jar); processor logic covered by the fake-driven "
+                "tests above"
+            )
+        raise
+    got = sorted(
+        (r["msgid"], r["frag_id"])
+        for r in read_sink(spark, str(tmp_path / "out"))
+        .where(F.col("kind") == "tagged")
+        .collect()
+    )
+    exp = sorted(
+        (r["msgid"], r["frag_id"])
+        for r in run_batch_pipeline(sample, PARAMS).tagged_records.collect()
+    )
+    assert got == exp
