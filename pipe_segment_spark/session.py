@@ -53,13 +53,21 @@ def _default_shuffle_partitions(cores: int | str) -> int:
         n = int(cores)
     except (TypeError, ValueError):
         n = os.cpu_count() or 8
-    # 1x cores (r4 A/B, BENCH/BASELINE.md "shuffle-partition sweep"): the
-    # hot paths are groupBy().applyInPandas exchanges whose per-partition
-    # cost is dominated by Python-worker/Arrow batch overhead — 2x cores
-    # means two task waves of that overhead per stage (measured: flagship
-    # 11.6s @64 partitions vs 9.7s @32 on 32 cores; 128/256 worse still).
+    # Piecewise, both branches MEASURED (BENCH/BASELINE.md r4 sweep):
+    # - wide boxes (>=16 cores): 1x cores. The hot paths are
+    #   groupBy().applyInPandas exchanges whose per-partition cost is
+    #   dominated by Python-worker/Arrow batch overhead — 2x cores means
+    #   two task waves of that overhead per stage (flagship 11.6s @64
+    #   partitions vs 9.7s @32 on 32 cores; 128/256 worse still).
+    # - narrow boxes (<16 cores): 2x cores. At 8 cores, 8 partitions is a
+    #   single wave with NO balance slack — the slowest partition gates
+    #   the stage (batch scaling thr@8c dropped 458k -> 391k rec/s when
+    #   r4 briefly shipped 1x across the board); 2 waves restore the
+    #   skew tolerance and the worker overhead is small at this width.
     # Local-mode logic only: on a real cluster this is superseded by AQE
     # coalescing from a high initial partition count, where target
     # partition BYTES (advisoryPartitionSizeInBytes), not a wave count,
     # sets the granularity.
-    return max(n, 8)
+    if n >= 16:
+        return n
+    return max(2 * n, 8)
