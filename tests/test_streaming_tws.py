@@ -334,3 +334,39 @@ def test_tws_mode_reachable_from_stream_segment(spark, tmp_path):
         for r in run_batch_pipeline(sample, PARAMS).tagged_records.collect()
     )
     assert got == exp
+
+
+def test_tws_state_survives_processor_restart():
+    """Checkpoint-recovery at the logic level: every piece of cross-batch
+    information must live in the state primitives (ListState/ValueState/
+    timers), never on the processor object — a NEW processor instance
+    re-init'd over the same handle mid-feed must produce exactly the
+    output of an uninterrupted run."""
+    from pipe_segment_spark.streaming.segmenter_tws import SortedPrefixProcessor
+
+    def drive(restart_after):
+        proc = SortedPrefixProcessor(PARAMS)
+        handle = FakeHandle()
+        proc.init(handle)
+        out = []
+        for i, (rows, wm) in enumerate(FEED):
+            if i == restart_after:
+                proc = SortedPrefixProcessor(PARAMS)  # simulate recovery
+                proc.init(handle)
+            out.extend(
+                proc.handleInputRows(
+                    ("d1",), iter([_batch_df(rows)]), FakeTimerValues(wm)
+                )
+            )
+        out.extend(
+            proc.handleExpiredTimer(
+                ("d1",),
+                FakeTimerValues(_wm(60)),
+                FakeExpiredTimerInfo(handle.timers[0]),
+            )
+        )
+        return _canon(pd.concat(out, ignore_index=True))
+
+    uninterrupted = drive(restart_after=None)
+    for cut in (1, 2, 3):
+        assert drive(restart_after=cut) == uninterrupted, f"restart at {cut}"
