@@ -74,3 +74,25 @@ def test_job_arg_probes():
          "--segmenter-params", "max_gap_hours:3"]
     )
     assert args.segmenter_params.max_gap_hours == 3.0
+
+
+def test_stream_mode_flag():
+    """--stream-mode surfaces all four modes and rejects unknown ones
+    (ADVICE r03 item #3: the modes must be reachable from the CLI)."""
+    import jobs.run_segment as job
+
+    for mode in ("low_latency", "day_close", "sorted_prefix",
+                 "tws_sorted_prefix"):
+        args = job.parse_args(
+            ["--input", "i", "--output", "o", "--mode", "stream",
+             "--stream-mode", mode]
+        )
+        assert args.stream_mode == mode
+    assert (
+        job.parse_args(["--input", "i", "--output", "o"]).stream_mode
+        == "low_latency"
+    )
+    with pytest.raises(SystemExit):
+        job.parse_args(
+            ["--input", "i", "--output", "o", "--stream-mode", "dayclose"]
+        )
