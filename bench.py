@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_bucketed_topk",
+    "ann_ivf_topk",
     "text_quality",
     "segment_vessel_daily",  # full downstream SQL job composite
     "satellite_offsets_full",  # full offsets pipeline composite

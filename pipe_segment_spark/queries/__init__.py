@@ -26,6 +26,9 @@ already evidenced by an in-window end-to-end query and/or pytest:
     day_close / sorted_prefix streaming modes and the
     validate_vessel_identity QA asset — sits inside the hard gate
     (ADVICE r03 item #1, VERDICT r03 ask #3).
+  - seg_tagged_records -> segmenter_full_tagged exercises the same J1/J2
+    record tagging in-window end-to-end; swapped for the new
+    ann_ivf_topk (new code belongs in the hard gate).
 All 60+ remain registered — the judge's mimic runs the full set.
 """
 
@@ -64,7 +67,6 @@ GATE_ORDER = [
     "seg_sessionize",
     "seg_fragments",
     "seg_segments_daily",
-    "seg_tagged_records",
     "invalid_values_mask",
     "bad_hours_filter",
     "overlap_detect",
@@ -106,6 +108,7 @@ GATE_ORDER = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_bucketed_topk",
+    "ann_ivf_topk",
     "dedup_embedding_near",
     "text_quality",
     "lang_id",
@@ -118,6 +121,7 @@ GATE_ORDER = [
     "sliding_hours",
     "session_window_native",
     # ---- gate window ends at 50 entries; tail below is mimic-covered ----
+    "seg_tagged_records",
     "dedup_minute",
     "median_rate",
     "hourly_counts",
@@ -179,6 +183,7 @@ for _must in (
     "message_stats",
     "pack_sequences",
     "contamination_check",
+    "ann_ivf_topk",
 ):
     if _must not in _window:
         raise ValueError(f"{_must} fell out of the driver gate window")

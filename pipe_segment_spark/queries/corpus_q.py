@@ -703,6 +703,249 @@ WHERE round({D_DOT.format(a="a.embedding", b="b.embedding")}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat ANN retrieval (the coarse-quantizer scale path alongside the
+# sign-LSH family): deterministic one-step-Lloyd centroids -> inverted
+# lists keyed by cluster id -> nprobe=2 probing -> exact cosine re-rank.
+#
+# Determinism note (what makes the DuckDB twin hash-exact): every float
+# reduction is a SEQUENTIAL fold in a pinned order — centroid sums fold
+# member embeddings in vec_id order, distances fold dimensions in
+# ascending order — so Spark's aggregate() lambdas and DuckDB's
+# list_sum(list_transform(...)) execute the identical IEEE operation
+# sequence and produce bit-identical doubles. argmin/probe selection
+# compares (distance, cluster_id) structs lexicographically in both.
+# ---------------------------------------------------------------------------
+
+IVF_TARGET_POP = 128  # expected vectors per cluster
+IVF_MIN_C, IVF_MAX_C = 16, 4096
+IVF_NPROBE = 2  # expected candidates ~ NPROBE * TARGET_POP = 256
+
+
+def ivf_clusters_for(n: int) -> int:
+    """C = clamp(2^floor(log2(N / IVF_TARGET_POP)), 16, 4096) — same
+    shape as lsh_bits_for: per-cluster population ~TARGET_POP..2*TARGET_POP
+    at any corpus size. Identical derivation in the oracle."""
+    import math
+
+    if n <= 0:
+        return IVF_MIN_C
+    raw = n / float(IVF_TARGET_POP)
+    c = int(2 ** math.floor(math.log2(raw))) if raw >= 1 else 0
+    return max(IVF_MIN_C, min(IVF_MAX_C, c))
+
+
+def ivf_sample_step(n: int, c: int) -> int:
+    """Training sample = vec_id % step == 0 (~8*C vectors)."""
+    return max(1, n // (8 * c))
+
+
+# dim-sequential squared distance between a (float) embedding column and a
+# (double) centroid list — fold order pinned ascending d in both engines
+_S_DIST2 = (
+    "aggregate(sequence(1, 64), cast(0.0 as double), (acc, d) -> "
+    "acc + (cast(element_at({v}, d) as double) - element_at({c}, d)) "
+    "* (cast(element_at({v}, d) as double) - element_at({c}, d)))"
+)
+_D_DIST2 = (
+    "list_sum(list_transform(range(1, 65), d -> "
+    "(CAST({v}[CAST(d AS INT)] AS DOUBLE) - {c}[CAST(d AS INT)]) "
+    "* (CAST({v}[CAST(d AS INT)] AS DOUBLE) - {c}[CAST(d AS INT)])))"
+)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k retrieval (the brief's 'IVF variant as the scale
+    path'): coarse k-means quantizer (deterministic init = the C smallest
+    sampled vec_ids; ONE Lloyd step over the ~8C-vector modulo sample),
+    every vector assigned to its nearest centroid (inverted lists), each
+    query probes its IVF_NPROBE nearest clusters, candidates re-rank by
+    exact cosine, row_number keeps top-5. Output shape matches
+    ann_cosine_topk so recall is directly measurable.
+
+    Scale shape: the centroid table is ~C rows and broadcast as ONE
+    array-of-structs row (no N*C row blowup); assignment is a per-row
+    Catalyst fold (O(C*dims) flops/vector, the standard IVF-flat cost);
+    retrieval joins probe rows to the inverted lists on cluster id — a
+    shuffle equi-join carrying ~NPROBE*TARGET_POP candidates per query,
+    never all-pairs."""
+    e = _embs(spark, sf_dir)
+    n = table_row_count(sf_dir, "embeddings", spark)
+    c_n = ivf_clusters_for(n)
+    step = ivf_sample_step(n, c_n)
+
+    samp = e.where(F.col("vec_id") % step == 0).select("vec_id", "embedding")
+    w = Window.orderBy("vec_id")
+    init = (
+        samp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= c_n)
+        .select(
+            (F.col("rn") - 1).alias("k"),
+            F.expr(
+                "transform(embedding, x -> cast(x as double))"
+            ).alias("cent"),
+        )
+    )
+    init_row = init.agg(
+        F.array_sort(F.collect_list(F.struct("k", "cent"))).alias("cents")
+    )
+    d2 = _S_DIST2.format(v="embedding", c="c.cent")
+    asg_expr = (
+        f"array_min(transform(cents, c -> struct({d2} as d, c.k as k))).k"
+    )
+    sassign = (
+        samp.crossJoin(F.broadcast(init_row))
+        .select("vec_id", "embedding", F.expr(asg_expr).alias("k"))
+    )
+    # one Lloyd step: element-wise SEQUENTIAL mean over members in vec_id
+    # order; empty clusters keep their init centroid
+    upd = (
+        sassign.groupBy("k")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("ms"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "k",
+            F.expr(
+                "transform(sequence(1, 64), d -> aggregate(ms, "
+                "cast(0.0 as double), (acc, m) -> acc + "
+                "cast(element_at(m.embedding, d) as double)) / cnt)"
+            ).alias("cent"),
+        )
+    )
+    cents2 = init.select("k", F.col("cent").alias("cent0")).join(
+        upd, "k", "left"
+    ).select("k", F.coalesce("cent", "cent0").alias("cent"))
+    cent_row = cents2.agg(
+        F.array_sort(F.collect_list(F.struct("k", "cent"))).alias("cents")
+    )
+
+    assigned = (
+        e.crossJoin(F.broadcast(cent_row))
+        .select(
+            "vec_id", "label", "embedding", "cents",
+            F.expr(asg_expr).alias("cluster"),
+        )
+    )
+    probe_expr = (
+        f"transform(slice(array_sort(transform(cents, c -> "
+        f"struct({d2} as d, c.k as k))), 1, {IVF_NPROBE}), x -> x.k)"
+    )
+    q = (
+        assigned.where(F.col("vec_id") % 97 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.expr(probe_expr)).alias("pk"),
+        )
+    )
+    cands = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    dot = F.expr(COS_DOT.format(a="q_emb", b="c_emb"))
+    qq = F.expr(COS_DOT.format(a="q_emb", b="q_emb"))
+    cc = F.expr(COS_DOT.format(a="c_emb", b="c_emb"))
+    pairs = (
+        q.join(cands, q.pk == cands.cluster)
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(dot / F.sqrt(qq * cc), 6))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "c_id", "c_label", "cos", "rank")
+    )
+
+
+_D_IVF_NC = (
+    f"SELECT count(*) AS n, "
+    f"greatest({IVF_MIN_C}, least({IVF_MAX_C}, CASE "
+    f"WHEN count(*) >= {IVF_TARGET_POP} THEN CAST(pow(2, "
+    f"floor(log2(count(*) / {IVF_TARGET_POP}.0))) AS INT) ELSE 0 END)) AS c "
+    f"FROM embeddings"
+)
+
+O_ANN_IVF_TOPK = f"""
+WITH nc AS ({_D_IVF_NC}),
+sp AS (SELECT greatest(1, n // (8 * c)) AS step FROM nc),
+samp AS (
+    SELECT vec_id, embedding FROM embeddings, sp WHERE vec_id % step = 0
+),
+init AS (
+    SELECT rn - 1 AS k,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+    FROM (SELECT vec_id, embedding,
+                 row_number() OVER (ORDER BY vec_id) AS rn FROM samp), nc
+    WHERE rn <= c
+),
+initrow AS (
+    SELECT list(struct_pack(k := k, cent := cent) ORDER BY k) AS cents
+    FROM init
+),
+sassign AS (
+    SELECT vec_id, embedding,
+           list_sort(list_transform(cents, c -> struct_pack(
+               d := {_D_DIST2.format(v="embedding", c="(c.cent)")},
+               k := c.k)))[1].k AS k
+    FROM samp, initrow
+),
+upd AS (
+    SELECT k, list(embedding ORDER BY vec_id) AS ms, count(*) AS cnt
+    FROM sassign GROUP BY k
+),
+upd2 AS (
+    SELECT k, list_transform(range(1, 65), d ->
+        list_sum(list_transform(ms, m -> CAST(m[CAST(d AS INT)] AS DOUBLE)))
+        / cnt) AS cent
+    FROM upd
+),
+cents2 AS (
+    SELECT i.k, coalesce(u.cent, i.cent) AS cent
+    FROM init i LEFT JOIN upd2 u ON u.k = i.k
+),
+centrow AS (
+    SELECT list(struct_pack(k := k, cent := cent) ORDER BY k) AS cents
+    FROM cents2
+),
+assigned AS (
+    SELECT vec_id, label, embedding, cents,
+           list_sort(list_transform(cents, c -> struct_pack(
+               d := {_D_DIST2.format(v="embedding", c="(c.cent)")},
+               k := c.k)))[1].k AS cluster
+    FROM embeddings, centrow
+),
+q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb, unnest(
+        list_transform(list_sort(list_transform(cents, c -> struct_pack(
+            d := {_D_DIST2.format(v="embedding", c="(c.cent)")},
+            k := c.k)))[1:{IVF_NPROBE}], x -> x.k)) AS pk
+    FROM assigned WHERE vec_id % 97 = 0
+),
+pairs AS (
+    SELECT q.q_id, a.vec_id AS c_id, a.label AS c_label,
+           round({D_DOT.format(a="q.q_emb", b="a.embedding")}
+                 / sqrt({D_DOT.format(a="q.q_emb", b="q.q_emb")}
+                        * {D_DOT.format(a="a.embedding", b="a.embedding")}),
+                 6) AS cos
+    FROM q JOIN assigned a ON q.pk = a.cluster AND q.q_id <> a.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, c_id ASC) AS rank
+    FROM pairs
+)
+SELECT q_id, c_id, c_label, cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 STOPWORDS = ("the", "a", "of", "and", "in")
 
 
@@ -983,6 +1226,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "dedup_embedding_near": q_dedup_embedding_near,
     "text_quality": q_text_quality,
@@ -1000,6 +1244,7 @@ ORACLES = {
     "dedup_simhash": O_DEDUP_SIMHASH,
     "ann_cosine_topk": O_ANN_COSINE_TOPK,
     "ann_bucketed_topk": O_ANN_BUCKETED_TOPK,
+    "ann_ivf_topk": O_ANN_IVF_TOPK,
     "ann_lsh_buckets": O_ANN_LSH_BUCKETS,
     "dedup_embedding_near": O_DEDUP_EMBEDDING_NEAR,
     "text_quality": O_TEXT_QUALITY,
