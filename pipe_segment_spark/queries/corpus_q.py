@@ -819,9 +819,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents2 = init.select("k", F.col("cent").alias("cent0")).join(
         upd, "k", "left"
     ).select("k", F.coalesce("cent", "cent0").alias("cent"))
+    # ONE tiny row; persisted because both the query branch and the
+    # candidate branch hang off it — without this the whole training
+    # pipeline (sample window + two aggregations) runs twice. At real
+    # scale the analog is materializing the trained centroids/inverted
+    # lists as a table — that is what an IVF index IS.
     cent_row = cents2.agg(
         F.array_sort(F.collect_list(F.struct("k", "cent"))).alias("cents")
-    )
+    ).persist()
 
     assigned = (
         e.crossJoin(F.broadcast(cent_row))
