@@ -781,3 +781,128 @@ def test_exactly_once_crash_mid_microbatch(spark, stream_case, tmp_path, crash_m
     for f, v in got_segmap.items():
         assert exp_segmap[f] == v, f
     assert set(got_segmap) >= set(exp_closed)
+
+
+def test_merge_pending_property_vs_reference_fold():
+    """Property check: the vectorized numpy _merge_pending equals a
+    straightforward row-at-a-time reference fold (same tie-break contract)
+    across randomized multi-run merge schedules."""
+    import numpy as np
+
+    from hypothesis import given, settings, strategies as st
+
+    from pipe_segment_spark.streaming.segmenter_stream import _merge_pending
+
+    def reference_merge(pending, rows):
+        """Two-phase row-at-a-time fold mirroring the tie hierarchy:
+        WITHIN a run, boundary ties on (t, msgid) resolve to the latest
+        processed row (>= update — kernel-sorted order, matching the
+        positional first/last the vectorized version computes); ACROSS
+        runs, ties keep the stored value (strict compare — the batch
+        max_by tie is arbitrary there, and msgid is unique in real
+        feeds, so exact cross-run (t, msgid) duplicates are replays)."""
+        local = {}
+        order = []
+        for fid, t, nt, day, mid in rows:
+            f = local.get(fid)
+            if f is None:
+                f = {
+                    "frag_id": fid, "day_us": day,
+                    "first_us": t, "last_us": t,
+                    "first_n_tok": nt, "last_n_tok": nt,
+                    "first_msgid": mid, "last_msgid": mid,
+                    "msg_count": 0,
+                }
+                local[fid] = f
+                order.append(fid)
+            if (t, mid or "") < (f["first_us"], f["first_msgid"] or ""):
+                f["first_us"], f["first_n_tok"], f["first_msgid"] = t, nt, mid
+            if (t, mid or "") >= (f["last_us"], f["last_msgid"] or ""):
+                f["last_us"], f["last_n_tok"], f["last_msgid"] = t, nt, mid
+            f["msg_count"] += 1
+        by_id = {f["frag_id"]: f for f in pending}
+        for fid in order:
+            r = local[fid]
+            f = by_id.get(fid)
+            if f is None:
+                by_id[fid] = r
+                pending.append(r)
+                continue
+            if (r["first_us"], r["first_msgid"] or "") < (
+                f["first_us"], f["first_msgid"] or ""
+            ):
+                f["first_us"] = r["first_us"]
+                f["first_n_tok"] = r["first_n_tok"]
+                f["first_msgid"] = r["first_msgid"]
+            if (r["last_us"], r["last_msgid"] or "") > (
+                f["last_us"], f["last_msgid"] or ""
+            ):
+                f["last_us"] = r["last_us"]
+                f["last_n_tok"] = r["last_n_tok"]
+                f["last_msgid"] = r["last_msgid"]
+            f["msg_count"] += r["msg_count"]
+
+    row_st = st.tuples(
+        st.sampled_from(["f1", "f2", "f3"]),          # frag_id
+        st.integers(min_value=0, max_value=50),        # t (many ties)
+        st.integers(min_value=1, max_value=9),         # n_tok
+        st.just(0),                                    # day_us
+        st.sampled_from(["m1", "m2", "m3", "m4"]),     # msgid (ties too)
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.lists(row_st, min_size=1, max_size=8),
+                    min_size=1, max_size=5))
+    def check(runs):
+        # IMPORTANT: within one run, rows arrive kernel-SORTED by
+        # (t, msgid) — that is _merge_pending's input contract
+        # (sort_group runs upstream); across runs order is arbitrary.
+        vec_pending, ref_pending = [], []
+        for run in runs:
+            run = sorted(run, key=lambda r: (r[1], r[4], r[2]))
+            _merge_pending(
+                vec_pending,
+                np.array([r[0] for r in run], dtype=object),
+                np.array([r[1] for r in run], dtype="int64"),
+                np.array([r[2] for r in run], dtype="int64"),
+                np.array([r[3] for r in run], dtype="int64"),
+                np.array([r[4] for r in run], dtype=object),
+            )
+            reference_merge(ref_pending, run)
+        key = lambda f: f["frag_id"]  # noqa: E731
+        assert sorted(vec_pending, key=key) == sorted(ref_pending, key=key)
+
+    check()
+
+
+def test_merge_pending_duplicate_t_msgid_hierarchy():
+    """Exact (t, msgid) duplicates — replayed records: WITHIN one run the
+    positional-last row's n_tok wins (what the pre-r4 pandas groupby did
+    and the numpy version preserves); ACROSS runs the stored boundary
+    wins (strict merge compare). The batch engine's max_by is
+    tie-arbitrary here, so any consistent deterministic rule is valid —
+    this pins ours."""
+    import numpy as np
+
+    from pipe_segment_spark.streaming.segmenter_stream import _merge_pending
+
+    p = []
+    _merge_pending(
+        p,
+        np.array(["f1", "f1"], dtype=object),
+        np.array([5, 5], dtype="int64"),
+        np.array([1, 2], dtype="int64"),
+        np.array([0, 0], dtype="int64"),
+        np.array(["m1", "m1"], dtype=object),
+    )
+    assert p[0]["last_n_tok"] == 2 and p[0]["first_n_tok"] == 1
+    # replay of the same boundary row in a LATER run: stored value sticks
+    _merge_pending(
+        p,
+        np.array(["f1"], dtype=object),
+        np.array([5], dtype="int64"),
+        np.array([7], dtype="int64"),
+        np.array([0], dtype="int64"),
+        np.array(["m1"], dtype=object),
+    )
+    assert p[0]["last_n_tok"] == 2 and p[0]["msg_count"] == 3
