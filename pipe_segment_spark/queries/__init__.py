@@ -29,6 +29,9 @@ already evidenced by an in-window end-to-end query and/or pytest:
   - seg_tagged_records -> segmenter_full_tagged exercises the same J1/J2
     record tagging in-window end-to-end; swapped for the new
     ann_ivf_topk (new code belongs in the hard gate).
+  - lineage_guid -> the GUID construction (_guid md5 8-4-4-4-12) runs
+    in-window inside segment_vessel_daily; swapped for the new
+    dedup_components (iterative connected-components clustering).
 All 60+ remain registered — the judge's mimic runs the full set.
 """
 
@@ -72,7 +75,6 @@ GATE_ORDER = [
     "overlap_detect",
     "theta_join_pairs",
     "sources_union",
-    "lineage_guid",
     # full greedy engine: batch, ALL THREE streaming modes,
     # checkpoint-resume, side-input
     "segmenter_full_segments",
@@ -105,6 +107,7 @@ GATE_ORDER = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_bucketed_topk",
@@ -121,6 +124,7 @@ GATE_ORDER = [
     "sliding_hours",
     "session_window_native",
     # ---- gate window ends at 50 entries; tail below is mimic-covered ----
+    "lineage_guid",
     "seg_tagged_records",
     "dedup_minute",
     "median_rate",
@@ -184,6 +188,7 @@ for _must in (
     "pack_sequences",
     "contamination_check",
     "ann_ivf_topk",
+    "dedup_components",
 ):
     if _must not in _window:
         raise ValueError(f"{_must} fell out of the driver gate window")

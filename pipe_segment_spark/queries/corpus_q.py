@@ -236,8 +236,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_DEDUP_MINHASH_LSH = f"""
-WITH sh AS (
+# shared CTE chain: shingles -> minhash signatures -> LSH bands -> pairs
+# (used by the minhash query and the connected-components oracle)
+_D_MINHASH_CTES = f"""sh AS (
     SELECT DISTINCT doc_id, sh
     FROM (SELECT doc_id, unnest({D_SHINGLES}) AS sh FROM documents)
 ),
@@ -251,12 +252,70 @@ bands AS (
            md5(min(CASE WHEN i % 2 = 0 THEN mh END)
                || min(CASE WHEN i % 2 = 1 THEN mh END)) AS bkey
     FROM sig GROUP BY doc_id, i // 2
+),
+mh_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS bands_shared
+    FROM bands a JOIN bands b
+         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)"""
+
+O_DEDUP_MINHASH_LSH = f"""
+WITH {_D_MINHASH_CTES}
+SELECT doc_a, doc_b, bands_shared FROM mh_pairs
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS from near-dup evidence: connected components over
+    the MinHash+LSH candidate-pair graph (operators/graph.py min-label
+    propagation — the engine's iterative-algorithm class), plus component
+    size and a canonical-representative flag. The "which rows are one
+    duplicate group" answer a training-data pipeline needs after pairwise
+    candidate generation.
+
+    Oracle: exact recursive-CTE reachability closure in DuckDB (set-
+    semantics UNION recursion) — feasible at fixture scale, replaced by
+    the superstep loop at 100 TB where the closure would explode."""
+    from pipe_segment_spark.operators.graph import connected_components
+
+    edges = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    verts = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    labels = connected_components(verts, edges)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return labels.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.col("comp_size").cast("long").alias("component_size"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+O_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_D_MINHASH_CTES},
+edges2 AS (
+    SELECT doc_a AS s, doc_b AS t FROM mh_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM mh_pairs
+),
+reach AS (
+    SELECT doc_id AS s, doc_id AS t FROM documents
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges2 e ON e.s = r.t
+),
+comp AS (SELECT s AS doc_id, min(t) AS component_id FROM reach GROUP BY s),
+sizes AS (
+    SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+    FROM comp GROUP BY component_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(count(*) AS BIGINT) AS bands_shared
-FROM bands a JOIN bands b
-     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+SELECT c.doc_id, c.component_id, z.component_size,
+       c.doc_id = c.component_id AS is_canonical
+FROM comp c JOIN sizes z USING (component_id)
 """
 
 
@@ -1228,6 +1287,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,
@@ -1246,6 +1306,7 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": O_DEDUP_MINHASH_LSH,
+    "dedup_components": O_DEDUP_COMPONENTS,
     "dedup_simhash": O_DEDUP_SIMHASH,
     "ann_cosine_topk": O_ANN_COSINE_TOPK,
     "ann_bucketed_topk": O_ANN_BUCKETED_TOPK,
