@@ -57,10 +57,12 @@ def parse_args(argv):
         "(whole-day replay at watermark close; batch-identity under "
         "arbitrary intra-day disorder), sorted_prefix (incremental "
         "watermark-confirmed release; day_close's identity guarantee at "
-        "near-low_latency emission), tws_sorted_prefix (same semantics on "
-        "the Spark 4 transformWithState operator: append-only RocksDB "
-        "ListState buffer, per-batch state I/O bounded by the arriving "
-        "batch + released suffix)",
+        "near-low_latency emission), tws_sorted_prefix (EXPERIMENTAL: same "
+        "semantics on the Spark 4 transformWithState operator — append-only "
+        "RocksDB ListState buffer, per-batch state I/O bounded by the "
+        "arriving batch + released suffix; the operator path needs "
+        "google.protobuf in the Python env and has only fake-state unit "
+        "coverage where protobuf is absent)",
     )
     p.add_argument(
         "--available-now",

@@ -176,7 +176,12 @@ def _merge_pending(pending, fid_m, t_m, nt_m, day_m, mid_m):
     carries a record at exactly the stored boundary timestamp (the kernel's
     h == 0 join), the winner is the (timestamp, msgid)-max row, not
     whichever run was processed last. msgid boundaries ride in the summary
-    for that comparison (None-safe: missing msgid compares as '')."""
+    for that comparison. None-safety matches Spark's struct ordering
+    exactly: a NULL struct field sorts BEFORE '' (verified empirically:
+    min_by picks the NULL-msgid row over the ''-msgid row at an equal
+    timestamp, max_by the reverse), so the compare key is
+    (t, msgid IS NOT NULL, msgid or '') — None first, then lexicographic —
+    not a '' coalesce, which would tie NULL against ''."""
     if len(fid_m) == 0:
         return
     import numpy as np
@@ -213,14 +218,21 @@ def _merge_pending(pending, fid_m, t_m, nt_m, day_m, mid_m):
             }
             by_id[fid] = f
             pending.append(f)
-        r_first = (int(t_m[fi]), mid_m[fi] or "")
-        r_last = (int(t_m[la]), mid_m[la] or "")
-        # older checkpoints may lack msgid boundaries: treat as ''
-        if r_first < (f["first_us"], f.get("first_msgid") or ""):
+        def _bkey(t, mid):
+            # Spark struct ordering: NULL field < '' < 'a...'
+            if mid is None or mid != mid:  # None or float NaN
+                return (t, False, "")
+            return (t, True, mid)
+
+        r_first = _bkey(int(t_m[fi]), mid_m[fi])
+        r_last = _bkey(int(t_m[la]), mid_m[la])
+        # older checkpoints may lack msgid boundaries: compare as None
+        # (NULL-first), same as the batch comparator would
+        if r_first < _bkey(f["first_us"], f.get("first_msgid")):
             f["first_us"] = int(t_m[fi])
             f["first_n_tok"] = int(nt_m[fi])
             f["first_msgid"] = mid_m[fi]
-        if r_last > (f["last_us"], f.get("last_msgid") or ""):
+        if r_last > _bkey(f["last_us"], f.get("last_msgid")):
             f["last_us"] = int(t_m[la])
             f["last_n_tok"] = int(nt_m[la])
             f["last_msgid"] = mid_m[la]

@@ -23,12 +23,20 @@ release through the per-day kernel (6-key sort -> fragmenter with carried
 per-day state -> boundary-summary merge), and a fired event-time timer
 DRAINS everything (bounded-feed contract shared by all modes). The release
 path is literally the same function (``_release_day``), so the batch
-byte-identity argument carries over unchanged; equality is pinned by the
-shared-mode tests in tests/test_streaming.py and the gate query
-``segmenter_streaming_tws`` (same recursive-CTE oracle as the other modes).
+byte-identity argument carries over unchanged. Equality evidence TODAY is
+the fake-state processor tests in tests/test_streaming_tws.py (including
+byte-equivalence with the sorted_prefix kernel on the same batch/watermark
+schedule); a gate query ``segmenter_streaming_tws`` (same recursive-CTE
+oracle as the other modes) is PLANNED but not yet registered — the real
+``transformWithStateInPandas`` operator path needs google.protobuf in the
+Python env (absent in this image), so the end-to-end mode has not executed
+on actual Spark here and the CLI marks ``tws_sorted_prefix`` EXPERIMENTAL.
+Register the gate query the moment protobuf appears (2-line change in
+queries/__init__.py per NOTES_NEXT_ROUND.md).
 
 Requires the RocksDB state store provider (transformWithState's backing
-store); ``transform_with_state_segmenter`` sets it on the session.
+store); ``transform_with_state_segmenter`` sets it on the session — see
+its docstring for the fail-fast contract on conflicting providers.
 """
 
 from __future__ import annotations
@@ -264,13 +272,31 @@ def transform_with_state_segmenter(
 ) -> DataFrame:
     """records stream -> union-typed output (tagged + segmap rows), same
     contract as stream_segment(mode='sorted_prefix') on the TWS operator.
-    Sets the RocksDB state store provider (TWS's backing store) on the
-    session — the other modes are provider-agnostic
-    (tests/test_rocksdb_state.py pins result equality across providers)."""
+
+    SESSION-WIDE SIDE EFFECT (by necessity): transformWithState only runs
+    on the RocksDB state store provider, and the provider class is a
+    session conf, not a per-query one — so building this query sets it for
+    every streaming query subsequently defined on the same session. The
+    other engine modes are provider-agnostic (tests/test_rocksdb_state.py
+    pins result equality across providers), so they are unaffected in
+    behavior, only in backing store. To avoid silently flipping a session
+    that explicitly chose a DIFFERENT non-default provider, this fails
+    fast rather than overwrite it."""
     spark = records_stream.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    current = spark.conf.get(conf_key, None)
+    default_provider = (
+        "org.apache.spark.sql.execution.streaming.state"
+        ".HDFSBackedStateStoreProvider"
     )
+    if current not in (None, "", default_provider, ROCKSDB_PROVIDER):
+        raise ValueError(
+            f"transform_with_state_segmenter requires the RocksDB state "
+            f"store provider, but the session already sets {conf_key}="
+            f"{current!r}. Unset it (or set it to the RocksDB provider) "
+            f"before building a tws_sorted_prefix query."
+        )
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
     return (
         records_stream.withWatermark("timestamp", watermark)
         .groupBy("doc_id")

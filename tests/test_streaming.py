@@ -690,6 +690,84 @@ def test_merge_pending_boundary_tie_breaks_on_msgid():
     assert (f["last_us"], f["last_n_tok"], f["last_msgid"]) == (300, 30, "m0")
 
 
+def test_merge_pending_null_msgid_sorts_before_empty_string():
+    """Spark's min_by/max_by over struct(timestamp, msgid) orders a NULL
+    field BEFORE '' (verified empirically on Spark 4.1), so a timestamp
+    tie between a NULL-msgid row and an ''-msgid row must resolve
+    NULL-first here too: min boundary -> NULL wins, max boundary -> ''
+    wins. The pre-r5 '' coalesce tied them (ADVICE r4)."""
+    import numpy as np
+
+    from pipe_segment_spark.streaming.segmenter_stream import _merge_pending
+
+    # run 1: single row with msgid='' at t=100
+    pending = []
+    _merge_pending(
+        pending,
+        np.array(["f1"], dtype=object),
+        np.array([100], dtype="int64"),
+        np.array([10], dtype="int64"),
+        np.array([0], dtype="int64"),
+        np.array([""], dtype=object),
+    )
+    # run 2: NULL-msgid row at the SAME t=100 -> takes the FIRST slot
+    # (NULL < ''), must NOT take the LAST slot ('' > NULL)
+    _merge_pending(
+        pending,
+        np.array(["f1"], dtype=object),
+        np.array([100], dtype="int64"),
+        np.array([20], dtype="int64"),
+        np.array([0], dtype="int64"),
+        np.array([None], dtype=object),
+    )
+    f = pending[0]
+    assert (f["first_n_tok"], f["first_msgid"]) == (20, None)
+    assert (f["last_n_tok"], f["last_msgid"]) == (10, "")
+
+    # and the mirror order: NULL stored first, '' arrives second
+    pending2 = []
+    _merge_pending(
+        pending2,
+        np.array(["f1"], dtype=object),
+        np.array([100], dtype="int64"),
+        np.array([20], dtype="int64"),
+        np.array([0], dtype="int64"),
+        np.array([None], dtype=object),
+    )
+    _merge_pending(
+        pending2,
+        np.array(["f1"], dtype=object),
+        np.array([100], dtype="int64"),
+        np.array([10], dtype="int64"),
+        np.array([0], dtype="int64"),
+        np.array([""], dtype=object),
+    )
+    g = pending2[0]
+    assert (g["first_n_tok"], g["first_msgid"]) == (20, None)
+    assert (g["last_n_tok"], g["last_msgid"]) == (10, "")
+
+    # NaN (pandas missing-string representation) behaves as None
+    pending3 = []
+    _merge_pending(
+        pending3,
+        np.array(["f1"], dtype=object),
+        np.array([100], dtype="int64"),
+        np.array([30], dtype="int64"),
+        np.array([0], dtype="int64"),
+        np.array([float("nan")], dtype=object),
+    )
+    _merge_pending(
+        pending3,
+        np.array(["f1"], dtype=object),
+        np.array([100], dtype="int64"),
+        np.array([40], dtype="int64"),
+        np.array([0], dtype="int64"),
+        np.array([""], dtype=object),
+    )
+    h = pending3[0]
+    assert h["first_n_tok"] == 30 and h["last_n_tok"] == 40
+
+
 @pytest.mark.parametrize("crash_mode", ["partial_write", "after_write"])
 def test_exactly_once_crash_mid_microbatch(spark, stream_case, tmp_path, crash_mode):
     """Chaos: kill the drain INSIDE a microbatch — after the sink wrote a

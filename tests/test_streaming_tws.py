@@ -370,3 +370,46 @@ def test_tws_state_survives_processor_restart():
     uninterrupted = drive(restart_after=None)
     for cut in (1, 2, 3):
         assert drive(restart_after=cut) == uninterrupted, f"restart at {cut}"
+
+
+def test_tws_fails_fast_on_conflicting_state_store_provider(spark):
+    """Building a tws query must not silently overwrite a session that
+    explicitly chose a different non-default state store provider
+    (ADVICE r4): it raises instead. The RocksDB/default cases proceed."""
+    from pyspark.sql import functions as F
+
+    from pipe_segment_spark.streaming.segmenter_tws import (
+        ROCKSDB_PROVIDER,
+        transform_with_state_segmenter,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf_key, None)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.lit("d1").alias("doc_id"),
+            F.col("timestamp"),
+            F.lit("m").alias("msgid"),
+            F.lit(1).alias("n_tok"),
+            F.lit("POS").alias("rec_type"),
+            F.lit(True).alias("has_payload"),
+            F.lit("s").alias("source"),
+            F.lit(False).alias("invalid"),
+        )
+    )
+    try:
+        spark.conf.set(conf_key, "com.example.SomeOtherProvider")
+        with pytest.raises(ValueError, match="RocksDB"):
+            transform_with_state_segmenter(stream)
+        # conflicting value untouched by the failed call
+        assert spark.conf.get(conf_key) == "com.example.SomeOtherProvider"
+        # RocksDB already set -> proceeds (query builds; not started here)
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+        transform_with_state_segmenter(stream)
+        assert spark.conf.get(conf_key) == ROCKSDB_PROVIDER
+    finally:
+        if before in (None, ""):
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, before)
