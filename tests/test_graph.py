@@ -65,11 +65,31 @@ def test_matches_union_find_on_random_graph(spark):
     assert _components(spark, n, edges) == _union_find(n, edges)
 
 
-def test_respects_iteration_cap(spark):
-    # with max_iters=1 a long chain CANNOT fully converge — the cap is a
-    # real bound (and the default 20 covers any plausible dedup diameter)
+def test_raises_on_iteration_cap(spark):
+    # with max_iters=1 a long chain CANNOT fully converge: the operator
+    # must RAISE (ADVICE r4) rather than return silently-truncated labels
+    import pytest
+
     edges = [(i, i + 1) for i in range(9)]
-    got = _components(spark, 10, edges, max_iters=1)
-    assert got[9] != 0  # not yet propagated to the chain's end
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _components(spark, 10, edges, max_iters=1)
     got_full = _components(spark, 10, edges)
     assert all(got_full[i] == 0 for i in range(10))
+
+
+def test_chain_converges_in_log_supersteps(spark):
+    """VERDICT r4 ask #5: pointer jumping makes the worst-case chain
+    close in O(log n) supersteps, not O(n). A 100-vertex path needs 99
+    supersteps under pure min-label propagation; with the jump step the
+    measured count must be ~log2(100) — we assert <= 10."""
+    n = 100
+    verts = spark.range(n).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out, steps = connected_components(
+        verts, edges, max_iters=15, return_stats=True
+    )
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert all(got[i] == 0 for i in range(n))
+    assert steps <= 10, f"chain took {steps} supersteps"
