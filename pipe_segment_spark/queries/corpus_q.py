@@ -557,18 +557,28 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures (tests/test_corpus_recall.py records it in PLANS.md).
 
     Probe depth is candidate-budget-driven (``probe_tier_for`` →
-    ``probe_count_for``) and the probe ORDER is margin-ranked (ask #6):
-    each query probes the P perturbations of its own bucket with the
-    smallest summed bit margins (quantized-integer scores, all 2^L subsets
-    of the L lowest-margin bits as the pool), P unchanged from the tier
-    system — the same candidate budget spent on the likeliest buckets.
-    Everything stays in Catalyst expressions (array_sort / aggregate over
-    higher-order lambdas); no Python in the plan."""
+    ``probe_count_for``) and the probe ORDER is REGIME-SWITCHED (r5,
+    VERDICT r4 ask #3): in the dense regimes (tier 1/2, bucket populations
+    near TARGET_POP) the order is margin-ranked — the P perturbations with
+    the smallest summed quantized bit margins (the classic multiprobe
+    heuristic; r4 measured +34% recall at 70k vs systematic order). In the
+    SPARSE tier-3 regime (~2 vectors/bucket, the gate fixture) margins
+    carry almost no signal and systematic coverage wins, so the order
+    falls back to (popcount, margin score, mask) — all 1-bit flips before
+    any 2-bit flip, margin-ranked within each popcount class. Both the
+    plain P-way union hybrid (tier-top-P/2 + margin fill: gate 0.633) and
+    each pure order alone (margin: gate 0.600 / 70k 0.248; systematic:
+    gate 0.700 / 70k 0.231) were measured before choosing the switch,
+    which attains the max of both (numpy simulation, r5; PLANS.md). P is
+    unchanged from the tier system — the same candidate budget either
+    way. Everything stays in Catalyst expressions (array_sort / aggregate
+    over higher-order lambdas); no Python in the plan."""
     e = _embs(spark, sf_dir)
     n = table_row_count(sf_dir, "embeddings", spark)
     bits = lsh_bits_for(n)
     pool_bits = min(bits, ANN_MARGIN_POOL_BITS)
     p_cnt = probe_count_for(n, bits)
+    sparse = probe_tier_for(n, bits) == 3
     e = e.withColumn("bucket", _bucket_expr_spark(bits))
     # per-query quantized margins, ranked ascending (ties by bit index):
     # rk[i] = (mq, b) of the i-th closest hyperplane
@@ -584,12 +594,17 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
         F.expr(rk_expr).alias("rk"),
     )
-    # perturbation s (bitmask over ranked positions) -> (score, real mask);
-    # keep the P best by (score asc, mask asc). s=0 is the own bucket at
-    # score 0, so it is always probed first. A candidate lives in exactly
-    # one bucket and real masks are distinct, so no pair dedup needed.
+    # perturbation s (bitmask over ranked positions) -> (pc, score, real
+    # mask); keep the P best by lexicographic struct order. pc leads ONLY
+    # in the sparse tier-3 regime (popcount = systematic coverage first);
+    # in dense regimes it is a constant 0 so the order is (score, mask).
+    # s=0 is the own bucket at score 0, so it is always probed first. A
+    # candidate lives in exactly one bucket and real masks are distinct,
+    # so no pair dedup needed.
+    pc_field = "bit_count(s)" if sparse else "0"
     cand_expr = (
         f"transform(sequence(0, {(1 << pool_bits) - 1}), s -> struct("
+        f"{pc_field} as pc, "
         f"aggregate(sequence(0, {pool_bits - 1}), cast(0 as bigint), "
         "(acc, i) -> acc + if((shiftright(s, i) & 1) = 1, "
         "element_at(rk, i + 1).mq, cast(0 as bigint))) as sc, "
@@ -660,7 +675,11 @@ q AS (
 ),
 masks AS (SELECT unnest(range(0, 1 << (SELECT l FROM pc))) AS s),
 cand AS (
+    -- pcnt leads the probe order ONLY in the sparse tier-3 regime
+    -- (regime-switched hybrid, twin of the engine's pc struct field)
     SELECT q_id, q_emb, q_bucket,
+           CASE WHEN (SELECT t FROM tiersel) = 3
+                THEN bit_count(s) ELSE 0 END AS pcnt,
            list_sum(list_transform(range(0, (SELECT l FROM pc)), i ->
              CASE WHEN (s >> i) & 1 = 1
                   THEN rk[CAST(i + 1 AS INT)].mq ELSE 0 END)) AS sc,
@@ -674,7 +693,7 @@ probes AS (
            CAST(xor(CAST(q_bucket AS BIGINT), rm) AS INT) AS pb
     FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY q_id ORDER BY sc, rm) AS pr
+            PARTITION BY q_id ORDER BY pcnt, sc, rm) AS pr
         FROM cand
     ) WHERE pr <= (SELECT p FROM pc)
 ),
@@ -778,7 +797,32 @@ WHERE round({D_DOT.format(a="a.embedding", b="b.embedding")}
 
 IVF_TARGET_POP = 128  # expected vectors per cluster
 IVF_MIN_C, IVF_MAX_C = 16, 4096
-IVF_NPROBE = 2  # expected candidates ~ NPROBE * TARGET_POP = 256
+# candidate budget per query (VERDICT r4 ask #2): nprobe is DERIVED from
+# this the way the LSH tier system derives its probe depth, instead of the
+# r4 hard-coded nprobe=2. Integer arithmetic end-to-end so the DuckDB twin
+# is exact. 1024 was chosen by measurement (numpy simulation, r5): recall@5
+# on the 70k uniform fixture ~doubles per nprobe doubling (2 -> 0.117,
+# 4 -> 0.192, 8 -> 0.286, 16 -> 0.420), and nprobe = 8 at 70k (~3.8% of
+# the corpus scanned) is the knee where the scale story still holds: at
+# production N=1e9/C=4096 a single cluster already exceeds the budget, so
+# nprobe stays at the floor of 2 and the scan fraction keeps FALLING with
+# N — the budget grows sub-linearly while brute force grows linearly.
+IVF_TARGET_CANDIDATES = 1024
+IVF_NPROBE_FLOOR = 2  # boundary queries need a second cell at any scale
+
+
+def ivf_nprobe_for(n: int, c: int) -> int:
+    """nprobe = clamp(ceil(IVF_TARGET_CANDIDATES / (N/C)), 2, C) — all
+    integer (ceil(a/b) = (a + b - 1) // b), identical in the oracle. At
+    tiny N this saturates to C (probe every cell = exact search where
+    brute force is cheap anyway — same philosophy as the LSH tier
+    escalation); at production N it sits at the floor."""
+    if n <= 0:
+        return IVF_NPROBE_FLOOR
+    return max(
+        IVF_NPROBE_FLOOR,
+        min(c, (IVF_TARGET_CANDIDATES * c + n - 1) // n),
+    )
 
 
 def ivf_clusters_for(n: int) -> int:
@@ -818,19 +862,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path'): coarse k-means quantizer (deterministic init = the C smallest
     sampled vec_ids; ONE Lloyd step over the ~8C-vector modulo sample),
     every vector assigned to its nearest centroid (inverted lists), each
-    query probes its IVF_NPROBE nearest clusters, candidates re-rank by
-    exact cosine, row_number keeps top-5. Output shape matches
-    ann_cosine_topk so recall is directly measurable.
+    query probes its ``ivf_nprobe_for(N, C)`` nearest clusters (candidate-
+    budget-derived, r5 — the r4 hard-coded 2 under-probed: recall@5 at 70k
+    0.125 -> ~0.29 at the same corpus with the budgeted nprobe=8),
+    candidates re-rank by exact cosine, row_number keeps top-5. Output
+    shape matches ann_cosine_topk so recall is directly measurable.
 
     Scale shape: the centroid table is ~C rows and broadcast as ONE
     array-of-structs row (no N*C row blowup); assignment is a per-row
     Catalyst fold (O(C*dims) flops/vector, the standard IVF-flat cost);
     retrieval joins probe rows to the inverted lists on cluster id — a
-    shuffle equi-join carrying ~NPROBE*TARGET_POP candidates per query,
-    never all-pairs."""
+    shuffle equi-join carrying ~IVF_TARGET_CANDIDATES candidates per
+    query, never all-pairs, and a FALLING corpus fraction as N grows."""
     e = _embs(spark, sf_dir)
     n = table_row_count(sf_dir, "embeddings", spark)
     c_n = ivf_clusters_for(n)
+    np_ = ivf_nprobe_for(n, c_n)
     step = ivf_sample_step(n, c_n)
 
     samp = e.where(F.col("vec_id") % step == 0).select("vec_id", "embedding")
@@ -878,14 +925,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents2 = init.select("k", F.col("cent").alias("cent0")).join(
         upd, "k", "left"
     ).select("k", F.coalesce("cent", "cent0").alias("cent"))
-    # ONE tiny row; persisted because both the query branch and the
-    # candidate branch hang off it — without this the whole training
-    # pipeline (sample window + two aggregations) runs twice. At real
-    # scale the analog is materializing the trained centroids/inverted
-    # lists as a table — that is what an IVF index IS.
+    # ONE tiny row; materialized eagerly via localCheckpoint because both
+    # the query branch and the candidate branch hang off it — without this
+    # the whole training pipeline (sample window + two aggregations) runs
+    # twice. localCheckpoint (not persist) so no cache entry outlives the
+    # DataFrame: bench loops re-invoking this query in one session were
+    # accumulating persisted rows (ADVICE r4); checkpoint blocks are freed
+    # with the RDD by the ContextCleaner. At real scale the analog is
+    # materializing the trained centroids/inverted lists as a table — that
+    # is what an IVF index IS.
     cent_row = cents2.agg(
         F.array_sort(F.collect_list(F.struct("k", "cent"))).alias("cents")
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     assigned = (
         e.crossJoin(F.broadcast(cent_row))
@@ -896,7 +947,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_expr = (
         f"transform(slice(array_sort(transform(cents, c -> "
-        f"struct({d2} as d, c.k as k))), 1, {IVF_NPROBE}), x -> x.k)"
+        f"struct({d2} as d, c.k as k))), 1, {np_}), x -> x.k)"
     )
     q = (
         assigned.where(F.col("vec_id") % 97 == 0)
@@ -929,11 +980,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _D_IVF_NC = (
-    f"SELECT count(*) AS n, "
+    f"SELECT n, c, "
+    # twin of ivf_nprobe_for: all-integer ceil -> exact in both engines
+    f"greatest({IVF_NPROBE_FLOOR}, least(c, "
+    f"({IVF_TARGET_CANDIDATES} * c + n - 1) // n)) AS np "
+    f"FROM (SELECT count(*) AS n, "
     f"greatest({IVF_MIN_C}, least({IVF_MAX_C}, CASE "
     f"WHEN count(*) >= {IVF_TARGET_POP} THEN CAST(pow(2, "
     f"floor(log2(count(*) / {IVF_TARGET_POP}.0))) AS INT) ELSE 0 END)) AS c "
-    f"FROM embeddings"
+    f"FROM embeddings)"
 )
 
 O_ANN_IVF_TOPK = f"""
@@ -989,7 +1044,7 @@ q AS (
     SELECT vec_id AS q_id, embedding AS q_emb, unnest(
         list_transform(list_sort(list_transform(cents, c -> struct_pack(
             d := {_D_DIST2.format(v="embedding", c="(c.cent)")},
-            k := c.k)))[1:{IVF_NPROBE}], x -> x.k)) AS pk
+            k := c.k)))[1:(SELECT np FROM nc)], x -> x.k)) AS pk
     FROM assigned WHERE vec_id % 97 = 0
 ),
 pairs AS (

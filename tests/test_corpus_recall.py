@@ -38,7 +38,10 @@ def test_bucketed_topk_recall_vs_brute_force(spark):
     total = sum(len(brute[q]) for q in brute)
     recall = hits / total
     print(f"bucketed-topk recall@5 = {recall:.3f} ({hits}/{total})")
-    assert recall >= 0.25
+    # r5 regime-switched probe order: sparse tier-3 fixtures probe in
+    # systematic (popcount, margin) order -> measured 0.700 here (r4's
+    # pure margin order was 0.600); floor pins most of the recovery
+    assert recall >= 0.6
 
 
 def test_lsh_bits_formula():
@@ -136,9 +139,10 @@ def test_bucketed_topk_recall_at_realistic_population(spark, tmp_path):
     # md5-uniform vectors are the adversarial case for LSH (no cluster
     # structure at all); the bucketed path must still find a meaningful
     # share of the exact top-5. Margin-ranked probing (r4) lifted this
-    # fixture 0.183 -> 0.245 at the same probe budget; the floor locks in
-    # most of that gain.
-    assert recall >= 0.20
+    # fixture 0.183 -> 0.245 at the same probe budget, and the r5 regime
+    # switch keeps it (tier 2 here -> margin order): measured 0.245. The
+    # floor locks in most of that gain.
+    assert recall >= 0.22
 
 
 def test_probe_count_budget_and_row_count_source():
@@ -166,6 +170,29 @@ def test_probe_count_budget_and_row_count_source():
     assert table_row_count("/root/testdata/sf0.001", "embeddings") == n
 
 
+def test_ivf_nprobe_budget():
+    """ivf_nprobe_for = clamp(ceil(IVF_TARGET_CANDIDATES/(N/C)), 2, C):
+    integer-exact (oracle twin uses the same (a*c + n - 1) // n), saturates
+    to C (exact search) at tiny N, floors at 2 at production N."""
+    from pipe_segment_spark.queries.corpus_q import (
+        ivf_clusters_for,
+        ivf_nprobe_for,
+    )
+
+    # gate fixture: 500 vecs -> C=16 -> ceil(1024*16/500)=33 -> clamp to C
+    assert ivf_clusters_for(500) == 16
+    assert ivf_nprobe_for(500, 16) == 16
+    # 70k -> C=512 -> ceil(1024*512/70000) = ceil(7.49) = 8
+    assert ivf_clusters_for(70_000) == 512
+    assert ivf_nprobe_for(70_000, 512) == 8
+    # 1M -> C=4096 -> ceil(1024*4096/1e6) = 5
+    assert ivf_nprobe_for(1_000_000, 4096) == 5
+    # production: one cell already exceeds the budget -> floor of 2,
+    # scanned fraction FALLS with N (2/4096 of the corpus)
+    assert ivf_nprobe_for(10**9, 4096) == 2
+    assert ivf_nprobe_for(10**12, 4096) == 2
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     """IVF-flat retrieval (deterministic one-step-Lloyd coarse quantizer,
     nprobe=2) must recover a meaningful share of the exact top-5 on the
@@ -179,7 +206,10 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     total = sum(len(brute[q]) for q in brute)
     recall = hits / total
     print(f"ivf-topk recall@5 = {recall:.3f} ({hits}/{total})")
-    assert recall >= 0.2
+    # budget-derived nprobe (r5) saturates to C at gate-fixture N, i.e.
+    # every cell is probed and the exact re-rank makes retrieval exact:
+    # measured 1.000 (r4's hard-coded nprobe=2 gave 0.367)
+    assert recall >= 0.99
 
 
 def test_ivf_topk_recall_at_realistic_population(spark, tmp_path):
@@ -213,7 +243,9 @@ def test_ivf_topk_recall_at_realistic_population(spark, tmp_path):
     recall = hits / total
     print(f"ivf-topk recall@5 @70k/C512 = {recall:.3f} ({hits}/{total})")
     # uniform vectors have no cluster structure at all — the coarse
-    # quantizer's cells are essentially random Voronoi cells; nonzero
-    # recall at ~0.4% of the corpus scanned is the sanity bar, the gate
-    # fixture and engine==oracle exactness are the correctness bar
-    assert recall > 0.0
+    # quantizer's cells are essentially random Voronoi cells. The r5
+    # budget-derived nprobe (= 8 here, ~3.8% of the corpus scanned)
+    # measured 0.316 vs the r4 hard-coded nprobe=2's 0.125; the floor
+    # pins most of the lift (engine==oracle exactness is the
+    # correctness bar, tested by the gate)
+    assert recall >= 0.25
