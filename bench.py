@@ -18,6 +18,50 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _read_cpu_ticks():
+    """(busy_ticks, steal_ticks, total_ticks) from /proc/stat's cpu line.
+    Fields: user nice system idle iowait irq softirq steal [guest...]."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:9]]  # through steal
+        total = sum(vals)
+        idle = vals[3] + vals[4]  # idle + iowait
+        steal = vals[7]
+        return total - idle, steal, total
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+class HostMeter:
+    """Stamps host conditions into the bench artifact (VERDICT r4 ask #1):
+    ambient load (VM-host contention showed up as 21% CPU steal and 6x
+    query inflation in r4) makes cross-window absolute numbers a weather
+    report unless the weather is recorded WITH them."""
+
+    def __init__(self):
+        self.load_start = os.getloadavg()
+        self.t0 = time.time()
+        self.ticks0 = _read_cpu_ticks()
+
+    def snapshot(self) -> dict:
+        out = {
+            "load_start_1m": round(self.load_start[0], 2),
+            "load_end_1m": round(os.getloadavg()[0], 2),
+            "load_end_5m": round(os.getloadavg()[1], 2),
+            "wall_window_sec": round(time.time() - self.t0, 1),
+        }
+        t1 = _read_cpu_ticks()
+        if self.ticks0 and t1:
+            busy = t1[0] - self.ticks0[0]
+            steal = t1[1] - self.ticks0[1]
+            total = t1[2] - self.ticks0[2]
+            if total > 0:
+                out["cpu_busy_pct"] = round(100.0 * busy / total, 1)
+                out["cpu_steal_pct"] = round(100.0 * steal / total, 1)
+        return out
+
 HEADLINE = [
     "segmenter_full_segments",  # the flagship stateful CEP pipeline
     "seg_sessionize",  # linear-mode sessionization (pure Catalyst)
@@ -136,6 +180,7 @@ def main():
     from pipe_segment_spark.queries import QUERIES
     from pipe_segment_spark.session import build_session
 
+    meter = HostMeter()
     spark = build_session(app_name="pipe-segment-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -172,6 +217,10 @@ def main():
                 "sf": float(sf),
                 "cpus": int(cpus),
                 "throughput": throughput,
+                # host weather report: absolute numbers are only
+                # comparable across windows when these are comparable
+                # (see BENCH/BASELINE.md ambient-load caveats)
+                "host": meter.snapshot(),
             }
         )
     )

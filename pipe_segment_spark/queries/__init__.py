@@ -192,3 +192,36 @@ for _must in (
 ):
     if _must not in _window:
         raise ValueError(f"{_must} fell out of the driver gate window")
+
+# Self-extending invariant (VERDICT r4 ask #8): every dedup_* / ann_*
+# query — the family where new risky code keeps landing — must sit in the
+# hard gate window UNLESS it is explicitly tail-justified here with the
+# in-window query that evidences the same operator. A new family member
+# registered without a gate slot (or a justification) fails at import.
+_TAIL_JUSTIFIED_RISK_FAMILY = {
+    "ann_lsh_buckets": "bucket-stats piece of in-window ann_bucketed_topk",
+    "dedup_minute": "minute-dedup sub-stage runs in-window inside "
+    "satellite_offsets_full (r4 tail swap)",
+}
+for _name in QUERIES:
+    if not (_name.startswith("dedup_") or _name.startswith("ann_")):
+        continue
+    if _name in _window:
+        continue
+    if _name not in _TAIL_JUSTIFIED_RISK_FAMILY:
+        raise ValueError(
+            f"{_name} is a dedup_*/ann_* query registered OUTSIDE the "
+            f"{GATE_WINDOW}-query gate window without a justification in "
+            "_TAIL_JUSTIFIED_RISK_FAMILY — new members of the risk family "
+            "go in the hard gate (swap a piece query to the tail)"
+        )
+_stale = [
+    n
+    for n in _TAIL_JUSTIFIED_RISK_FAMILY
+    if n not in QUERIES or n in _window
+]
+if _stale:
+    raise ValueError(
+        f"stale _TAIL_JUSTIFIED_RISK_FAMILY entries (not registered, or "
+        f"now in-window): {_stale}"
+    )
