@@ -165,6 +165,7 @@ stats = lag.agg(
     F.min("lag").alias("min"),
     F.max("lag").alias("max"),
 ).collect()[0]
+tagged_sink = sink.where("kind = 'tagged'").count()
 segmap = sink.where("kind = 'segmap'").count()
 shutil.rmtree(tmp, ignore_errors=True)
 print(json.dumps({
@@ -172,7 +173,14 @@ print(json.dumps({
     "batches_run": last_batch + 1,
     "wall_sec": round(wall, 2),
     "records_per_sec": round(n / wall, 1),
-    "tagged": stats["n"], "segmap": segmap,
+    "tagged": tagged_sink, "tagged_lag_joined": stats["n"],
+    "segmap": segmap,
+    # buffered modes correctly retain the final not-yet-watermark-confirmed
+    # suffix when a LIVE (non-terminating) stream is stopped — the
+    # watermark only advances with new data, so the last half-day can
+    # never be confirmed. availableNow drains flush it via the terminal
+    # timeout batch instead (bounded-feed contract).
+    "unreleased_at_stop": n - tagged_sink,
     "lag_batches_mean": round(stats["mean"], 3),
     "lag_batches_p95": round(stats["p95"], 2),
     "lag_batches_min": int(stats["min"]),
@@ -212,15 +220,19 @@ def main():
         r = json.loads(line)
         results.append(r)
         sys.stderr.write(f"{r}\n")
-    tagged = {r["tagged"] for r in results}
     segmap = {r["segmap"] for r in results}
     low = next((r for r in results if r["mode"] == "low_latency"), None)
     canary_ok = low is None or (
         low["lag_batches_mean"] == 0 and low["lag_batches_max"] == 0
     )
+    # the msgid->arrival-file join must account for every released row
+    # (a lossy join would silently skew the latency stats)
+    join_lossless = all(
+        r["tagged"] == r["tagged_lag_joined"] for r in results
+    )
     print(json.dumps({
         "results": results,
-        "tagged_identical": len(tagged) == 1,
+        "lag_join_lossless": join_lossless,
         "segmap_identical": len(segmap) == 1,
         "file_batch_mapping_canary_ok": canary_ok,
     }))
