@@ -25,6 +25,12 @@ Recorded outputs (2026-08, this box):
   -> decision: IVF_TARGET_CANDIDATES=1024 => nprobe=8 at this shape (the
      knee); clamps to [2, C] elsewhere.
 
+  Second Lloyd step (VERDICT r4 suggestion) — measured and REJECTED:
+    uniform 70k @ nprobe=8:  1 step 0.311, 2 steps 0.296, 3 steps 0.296
+      (tighter Voronoi cells shrink the candidate pool: 3089 -> 2736)
+    clustered 70k (200 Gaussian centers) @ nprobe=8: 1.000 at EVERY step
+  -> the extra oracle-twin aggregation buys nothing on either regime.
+
 Usage: python tools/sim_ann_probe_orders.py [gate_parquet_path]
 (defaults to /root/testdata/sf0.001/embeddings.parquet for the gate
 fixture; the 70k fixture is synthesized uniformly.)
