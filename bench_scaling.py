@@ -112,6 +112,19 @@ def main():
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
+    # Rewrite ONLY the scaling header; PRESERVE every appended "## " section
+    # (streaming scaling, mode tables, A/B records, latency tables) — the
+    # pre-r5 full-file rewrite forced manual restoration of all of them.
+    tail = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            tail = old[idx:]
+    except OSError:
+        pass
+    load = os.getloadavg()
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling-efficiency evidence
@@ -150,7 +163,12 @@ Reference baseline: the reference publishes no q/s numbers (BASELINE.md);
 its production envelope is 100 single-vCPU Dataflow workers over per-row
 Python dicts. This engine's Arrow-vectorized path processes
 {r32["records_per_sec"]:,.0f} records/s end-to-end on one 32-core node.
+
+Host weather at measurement end (see the ambient-load caveats in
+NOTES_NEXT_ROUND.md — absolutes are only window-comparable when these
+are): loadavg {load[0]:.2f}/{load[1]:.2f}/{load[2]:.2f}.
 """
+            + tail
         )
 
 

@@ -119,8 +119,17 @@ def main():
     }
     print(json.dumps(report))
     assert r2["segmap_rows"] == r8["segmap_rows"] == r32["segmap_rows"]
-    with open("BENCH/BASELINE.md", "a") as f:
-        f.write(
+    # REPLACE this tool's own section in place (appending made duplicates
+    # once bench_scaling.py learned to preserve appended sections)
+    marker = "\n## Streaming-engine scaling"
+    with open("BENCH/BASELINE.md") as f:
+        doc = f.read()
+    start = doc.find(marker)
+    if start >= 0:
+        nxt = doc.find("\n## ", start + len(marker))
+        doc = doc[:start] + (doc[nxt:] if nxt >= 0 else "")
+    load = os.getloadavg()
+    section = (
             f"""
 
 ## Streaming-engine scaling (applyInPandasWithState path)
@@ -140,9 +149,16 @@ keys), fresh JVM + fresh checkpoint per level. Output identity verified:
 
 **Streaming scaling efficiency (N=2 -> 4N=8)** = {round(eff, 3)}
 (criterion >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}); 8 -> 32 =
-{round(eff_8_32, 3)}.
+{round(eff_8_32, 3)}. Host weather at measurement end: loadavg
+{load[0]:.2f}/{load[1]:.2f}/{load[2]:.2f}.
 """
-        )
+    )
+    if start >= 0:
+        doc = doc[:start] + section + doc[start:]
+    else:
+        doc = doc + section
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(doc)
 
 
 if __name__ == "__main__":
