@@ -249,3 +249,55 @@ def test_ivf_topk_recall_at_realistic_population(spark, tmp_path):
     # pins most of the lift (engine==oracle exactness is the
     # correctness bar, tested by the gate)
     assert recall >= 0.25
+
+
+def test_ann_oracle_exactness_dense_regime(spark, tmp_path):
+    """Engine == DuckDB oracle for BOTH ANN retrieval queries on a fixture
+    that exercises the DENSE branches (r5): 4,000 vectors -> LSH tier 2
+    (margin-ranked probe order, pcnt constant 0 — NOT the gate fixture's
+    sparse tier-3 popcount-first branch) and IVF nprobe 5 (the budgeted
+    mid path — neither the gate's saturated C nor the production floor).
+    The driver gate only ever runs the sparse/saturated branches, so
+    without this test a defect in the oracle's tier/nprobe CASE arms
+    would be invisible."""
+    from pipe_segment_spark.queries.corpus_q import (
+        O_ANN_BUCKETED_TOPK,
+        O_ANN_IVF_TOPK,
+        ivf_clusters_for,
+        ivf_nprobe_for,
+        lsh_bits_for,
+        probe_tier_for,
+        q_ann_bucketed_topk,
+        q_ann_ivf_topk,
+    )
+
+    n = 4_000
+    bits = lsh_bits_for(n)
+    assert probe_tier_for(n, bits) == 2  # dense LSH branch
+    assert ivf_nprobe_for(n, ivf_clusters_for(n)) == 5  # budgeted IVF path
+
+    emb_dir = str(tmp_path / "embeddings.parquet")
+    spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7).cast("int").alias("label"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "cast((cast(conv(substring(md5(concat(cast(id as string), ':', "
+            "cast(i as string))), 1, 8), 16, 10) as double) / 4294967295.0 "
+            "- 0.5) as float))"
+        ).alias("embedding"),
+    ).coalesce(2).write.parquet(emb_dir)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_dir}/*.parquet'")
+    for q_fn, o_sql, name in (
+        (q_ann_bucketed_topk, O_ANN_BUCKETED_TOPK, "bucketed"),
+        (q_ann_ivf_topk, O_ANN_IVF_TOPK, "ivf"),
+    ):
+        spark_rows = sorted(
+            (r["q_id"], r["c_id"], r["c_label"], r["cos"], r["rank"])
+            for r in q_fn(spark, str(tmp_path)).collect()
+        )
+        duck_rows = sorted(tuple(r) for r in con.sql(o_sql).fetchall())
+        assert len(spark_rows) == len(duck_rows), name
+        assert spark_rows == duck_rows, name
