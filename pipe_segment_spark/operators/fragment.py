@@ -284,6 +284,12 @@ def attach_counted_arrays(
         tagged.where(F.col("frag_id").isNotNull() & (F.col("rec_type") == "IDENT"))
         .select("doc_id", "msgid", "frag_id")
         .join(ident_side, ["doc_id", "msgid"])
+        # one explicit exchange on the aggregation prefix: both groupBys
+        # below and the join back onto ``base`` (itself hash-partitioned by
+        # (doc_id, frag_id) from its aggregation) are satisfied by this
+        # partitioning, so the two-level counted aggregation runs
+        # exchange-free after it (guide §2.4)
+        .repartition("doc_id", "frag_id")
     )
 
     kv = F.explode(

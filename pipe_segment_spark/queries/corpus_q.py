@@ -20,6 +20,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan with a parallelism floor for CPU-heavy per-doc
+    expressions (md5 signatures over every shingle). A small corpus is one
+    parquet split, so a per-doc compute pipeline would run in ONE task;
+    hash-repartitioning by doc_id spreads it across the cores. Scale-
+    adaptive (guide §2): the repartition fires ONLY when the scan has fewer
+    splits than defaultParallelism — at cluster scale the scan already has
+    thousands of splits and no extra payload shuffle is paid."""
+    d = _docs(spark, sf_dir)
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return d
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -124,11 +138,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate shingle shared by k docs would otherwise emit k^2 join rows
     (the r01 scale-killer). Jaccard is computed over the surviving
     informative shingles; the DuckDB oracle applies the identical cap."""
+    # (doc_id, shingle) deduplication happens per-document with
+    # array_distinct BEFORE the explode — identical pair set to the old
+    # whole-table .distinct() (doc_id is constant within a source row)
+    # without the full-cardinality distinct shuffle+aggregate (r6, guide
+    # §2.3/2.4: aggregate before you shuffle / remove shuffles outright)
     sh_all = (
         _docs(spark, sf_dir)
         .withColumn("w", F.expr(WORDS_EXPR))
-        .select("doc_id", F.explode(F.expr(SHINGLES_OF_W)).alias("sh"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(SHINGLES_OF_W))).alias("sh"),
+        )
     )
     sh = sh_all.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
@@ -190,48 +211,58 @@ N_BANDS = 4  # 2 hashes per band
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: shingle -> 8 md5-minhashes -> 4 bands of 2 ->
-    bucket join -> candidate pairs with band-collision count."""
-    sh = (
-        _docs(spark, sf_dir)
-        .withColumn("w", F.expr(WORDS_EXPR))
-        .select("doc_id", F.explode(F.expr(SHINGLES_OF_W)).alias("sh"))
-        .distinct()
+    bucket join -> candidate pairs with band-collision count.
+
+    r6 physical rewrite (same rows, same hashes): the signature is computed
+    PER DOCUMENT inside Catalyst higher-order functions — mh[i] = array_min
+    over the doc's distinct shingles of md5(i ':' sh) — instead of
+    exploding every (shingle, i) pair into rows and re-aggregating twice.
+    min over a multiset equals min over its set, and a shingle-less doc
+    yields NULL band keys which can never satisfy the bkey equi-join —
+    exactly the rows the old explode produced none for. This removes the
+    shingle-row explode and BOTH signature aggregation shuffles (plan:
+    11 Exchanges -> the pair join + one count aggregation; guide §2.4), and
+    at 100 TB the shuffle volume drops from O(docs x shingles x 8 rows) to
+    O(docs x 4 band rows)."""
+    sig_expr = (
+        f"transform(sequence(0, {N_MINHASH - 1}), i -> "
+        f"array_min(transform(array_distinct({SHINGLES_OF_W}), "
+        "s -> md5(concat(cast(i as string), ':', s)))))"
     )
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"),
-        "sh",
-    ).select(
-        "doc_id",
-        "i",
-        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))).alias(
-            "h"
-        ),
+    band_expr = (
+        f"transform(sequence(0, {N_BANDS - 1}), b -> struct(b as band, "
+        "md5(concat(element_at(mh, 2 * b + 1), element_at(mh, 2 * b + 2))) "
+        "as bkey))"
     )
-    sig = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
     bands = (
-        sig.withColumn("band", (F.col("i") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat(
-                    F.min(F.when(F.col("i") % 2 == 0, F.col("mh"))),
-                    F.min(F.when(F.col("i") % 2 == 1, F.col("mh"))),
-                )
-            ).alias("bkey")
-        )
+        _docs_parallel(spark, sf_dir)
+        .withColumn("w", F.expr(WORDS_EXPR))
+        .select("doc_id", F.expr(sig_expr).alias("mh"))
+        .select("doc_id", F.explode(F.expr(band_expr)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        # a shingle-less doc has NULL minhashes -> NULL bkey; the old
+        # equi-join could never match it, so it is dropped, not grouped
+        .where(F.col("bkey").isNotNull())
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # bucket-local pair expansion instead of a bands-self-join: one shuffle
+    # on (band, bkey), candidate pairs generated by a higher-order lambda
+    # over the bucket's sorted doc list. Same pair multiset as the old
+    # a<b self-join (one row per shared band per pair), but the signature
+    # pipeline executes ONCE instead of once per join side, and the join
+    # disappears. Pair fanout per bucket is k^2/2 either way (the join put
+    # a bucket's pairs in one hash partition too — identical skew shape).
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, greatest(size(ds) - i - 1, 0)), "
+        "y -> struct(x as doc_a, y as doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("bands_shared"))
     )
 
@@ -1291,11 +1322,18 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 50 == 0 stand in for the benchmark). Equi-join on shingle with
     the same document-frequency cap as the dedup family — never all-pairs,
     so the check scales with corpus size, not corpus^2."""
+    # (doc_id, shingle) deduplication happens per-document with
+    # array_distinct BEFORE the explode — identical pair set to the old
+    # whole-table .distinct() (doc_id is constant within a source row)
+    # without the full-cardinality distinct shuffle+aggregate (r6, guide
+    # §2.3/2.4: aggregate before you shuffle / remove shuffles outright)
     sh_all = (
         _docs(spark, sf_dir)
         .withColumn("w", F.expr(WORDS_EXPR))
-        .select("doc_id", F.explode(F.expr(SHINGLES_OF_W)).alias("sh"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(SHINGLES_OF_W))).alias("sh"),
+        )
     )
     sh = sh_all.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
