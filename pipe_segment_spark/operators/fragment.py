@@ -187,25 +187,41 @@ def fragment_base(tagged: DataFrame) -> DataFrame:
     # from msg_count / boundary aggregates
     is_pos = ~F.col("rec_type").eqNullSafe("IDENT")
 
-    return pos.groupBy(*key_cols).agg(
-        F.date_trunc("day", F.min(F.when(is_pos, F.col("timestamp")))).alias(
-            "timestamp"
-        ),
-        F.sum(is_pos.cast("long")).alias("msg_count"),
-        F.min(F.when(is_pos, F.col("timestamp"))).alias("first_msg_timestamp"),
-        F.max(F.when(is_pos, F.col("timestamp"))).alias("last_msg_timestamp"),
-        F.min_by(
-            F.when(is_pos, F.col("n_tok")), F.when(is_pos, ord_key)
-        ).alias("first_msg_n_tok"),
-        F.max_by(
-            F.when(is_pos, F.col("n_tok")), F.when(is_pos, ord_key)
-        ).alias("last_msg_n_tok"),
-        F.min_by(
-            F.when(is_pos, F.col("msgid")), F.when(is_pos, ord_key)
-        ).alias("first_msgid"),
-        F.max_by(
-            F.when(is_pos, F.col("msgid")), F.when(is_pos, ord_key)
-        ).alias("last_msgid"),
+    # first/last boundary payloads ride ONE min_by + ONE max_by as structs
+    # (r6; was four independent min_by/max_by aggs each re-comparing the
+    # same ordering key per row — same values, ord_key is unique within a
+    # fragment so the picks are tie-free and deterministic either way)
+    bound = F.struct(F.col("n_tok"), F.col("msgid"))
+    return (
+        pos.groupBy(*key_cols)
+        .agg(
+            F.sum(is_pos.cast("long")).alias("msg_count"),
+            F.min(F.when(is_pos, F.col("timestamp"))).alias(
+                "first_msg_timestamp"
+            ),
+            F.max(F.when(is_pos, F.col("timestamp"))).alias(
+                "last_msg_timestamp"
+            ),
+            F.min_by(F.when(is_pos, bound), F.when(is_pos, ord_key)).alias(
+                "__first"
+            ),
+            F.max_by(F.when(is_pos, bound), F.when(is_pos, ord_key)).alias(
+                "__last"
+            ),
+        )
+        .select(
+            *key_cols,
+            F.date_trunc("day", F.col("first_msg_timestamp")).alias(
+                "timestamp"
+            ),
+            "msg_count",
+            "first_msg_timestamp",
+            "last_msg_timestamp",
+            F.col("__first.n_tok").alias("first_msg_n_tok"),
+            F.col("__last.n_tok").alias("last_msg_n_tok"),
+            F.col("__first.msgid").alias("first_msgid"),
+            F.col("__last.msgid").alias("last_msgid"),
+        )
     )
 
 

@@ -38,6 +38,18 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _embs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan with a parallelism floor (same rationale as
+    _docs_parallel): the ANN family's per-vector distance/bucket folds are
+    CPU-heavy higher-order expressions, and a small corpus is ONE parquet
+    split, so they would all run in a single task. Scale-adaptive: no-op
+    whenever the scan already has >= defaultParallelism splits."""
+    e = _embs(spark, sf_dir)
+    if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    return e
+
+
 _ROW_COUNT_CACHE: dict = {}
 
 
@@ -130,19 +142,26 @@ MAX_SHINGLE_DF = 16  # shingles in more docs than this are boilerplate
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5 (shingle explode +
-    self-equi-join on shingle + count ratio).
+    """Near-dup pairs by 3-gram shingle Jaccard >= 0.5 (shingle buckets +
+    bucket-local pair expansion + count ratio).
 
     Scale guard: shingles with document frequency > MAX_SHINGLE_DF are
-    dropped BEFORE the self-join (one window count, no extra join) — a
-    boilerplate shingle shared by k docs would otherwise emit k^2 join rows
-    (the r01 scale-killer). Jaccard is computed over the surviving
-    informative shingles; the DuckDB oracle applies the identical cap."""
-    # (doc_id, shingle) deduplication happens per-document with
-    # array_distinct BEFORE the explode — identical pair set to the old
-    # whole-table .distinct() (doc_id is constant within a source row)
-    # without the full-cardinality distinct shuffle+aggregate (r6, guide
-    # §2.3/2.4: aggregate before you shuffle / remove shuffles outright)
+    dropped as boilerplate — a shingle shared by k docs would otherwise
+    emit k^2 pair rows (the r01 scale-killer). Jaccard is computed over the
+    surviving informative shingles; the DuckDB oracle applies the
+    identical cap.
+
+    r6 physical rewrite (same rows): (doc, shingle) pairs are deduplicated
+    per-document (array_distinct before the explode — identical pair set
+    to the old whole-table .distinct()), then ONE shuffle groups by
+    shingle. The per-shingle doc list IS the document frequency, so the df
+    cap becomes a size() filter on the aggregation (the old plan paid a
+    window pass over the exploded pairs), and candidate pairs expand
+    bucket-locally from the sorted doc list (the old plan self-joined the
+    exploded table, and the optimizer's post-distinct estimates flipped it
+    to re-building + broadcasting the whole window subtree). Per-bucket
+    fanout stays bounded by MAX_SHINGLE_DF^2/2. Same multiset of
+    (doc_a, doc_b, shingle) contributions, so `inter` is unchanged."""
     sh_all = (
         _docs(spark, sf_dir)
         .withColumn("w", F.expr(WORDS_EXPR))
@@ -151,17 +170,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(F.expr(SHINGLES_OF_W))).alias("sh"),
         )
     )
-    sh = sh_all.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-    ).where(F.col("df") <= MAX_SHINGLE_DF).drop("df")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    buckets = (
+        sh_all.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= MAX_SHINGLE_DF)
+    )
+    sizes = (
+        buckets.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, greatest(size(ds) - i - 1, 0)), "
+        "y -> struct(x as doc_a, y as doc_b))))"
+    )
     inter = (
-        a.join(b, F.col("a.sh") == F.col("b.sh"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -417,7 +444,7 @@ D_DOT = (
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors
     (vec_id % 97 == 0): the ANN correctness baseline."""
-    e = _embs(spark, sf_dir)
+    e = _embs_parallel(spark, sf_dir)
     q = e.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -604,7 +631,7 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged from the tier system — the same candidate budget either
     way. Everything stays in Catalyst expressions (array_sort / aggregate
     over higher-order lambdas); no Python in the plan."""
-    e = _embs(spark, sf_dir)
+    e = _embs_parallel(spark, sf_dir)
     n = table_row_count(sf_dir, "embeddings", spark)
     bits = lsh_bits_for(n)
     pool_bits = min(bits, ANN_MARGIN_POOL_BITS)
@@ -905,7 +932,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval joins probe rows to the inverted lists on cluster id — a
     shuffle equi-join carrying ~IVF_TARGET_CANDIDATES candidates per
     query, never all-pairs, and a FALLING corpus fraction as N grows."""
-    e = _embs(spark, sf_dir)
+    e = _embs_parallel(spark, sf_dir)
     n = table_row_count(sf_dir, "embeddings", spark)
     c_n = ivf_clusters_for(n)
     np_ = ivf_nprobe_for(n, c_n)
@@ -1322,11 +1349,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 50 == 0 stand in for the benchmark). Equi-join on shingle with
     the same document-frequency cap as the dedup family — never all-pairs,
     so the check scales with corpus size, not corpus^2."""
-    # (doc_id, shingle) deduplication happens per-document with
-    # array_distinct BEFORE the explode — identical pair set to the old
-    # whole-table .distinct() (doc_id is constant within a source row)
-    # without the full-cardinality distinct shuffle+aggregate (r6, guide
-    # §2.3/2.4: aggregate before you shuffle / remove shuffles outright)
+    # r6 physical rewrite, same rows (the dedup_ngram_jaccard shape): per-doc
+    # array_distinct replaces the whole-table distinct, ONE groupBy(sh)
+    # builds the bucket doc lists (the list size IS the df cap), and the
+    # train x bench pairs expand bucket-locally — no window pass, no
+    # shingle self-join. Row multiset into the final aggregation is
+    # identical to the old train-join-bench output: one row per
+    # (shingle, train_doc, bench_doc) co-occurrence under the cap.
     sh_all = (
         _docs(spark, sf_dir)
         .withColumn("w", F.expr(WORDS_EXPR))
@@ -1335,19 +1364,22 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(F.expr(SHINGLES_OF_W))).alias("sh"),
         )
     )
-    sh = sh_all.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-    ).where(F.col("df") <= CONTAM_MAX_DF).drop("df")
-    bench = sh.where(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("bench_doc_id"), "sh"
+    buckets = (
+        sh_all.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= CONTAM_MAX_DF)
     )
-    train = sh.where(F.col("doc_id") % 50 != 0)
+    pair_expr = (
+        "flatten(transform(filter(ds, d -> d % 50 != 0), t -> "
+        "transform(filter(ds, d -> d % 50 == 0), "
+        "b -> struct(t as doc_id, b as bench_doc_id))))"
+    )
     return (
-        train.join(bench, "sh")
-        .groupBy("doc_id")
+        buckets.select("sh", F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc_id").alias("doc_id"))
         .agg(
             F.countDistinct("sh").alias("shared_shingles"),
-            F.countDistinct("bench_doc_id").alias("bench_docs_hit"),
+            F.countDistinct("p.bench_doc_id").alias("bench_docs_hit"),
         )
         .where(F.col("shared_shingles") >= 2)
     )
