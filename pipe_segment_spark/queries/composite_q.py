@@ -31,7 +31,16 @@ def q_satellite_offsets_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_tok").isNotNull()
         & F.col("n_tok").between(2, 96)  # raw bounds filter analog
     )
-    raw = df.withColumn("hour", F.date_trunc("hour", "timestamp"))
+    # ONE hash exchange on doc_id up front (r6, guide §2.4): the minute-
+    # dedup window (doc, source, minute), the pair self-join (doc, hour)
+    # and the pick-1 window (doc, src_a, src_b, hour) are all satisfied by
+    # HashPartitioning(doc_id), so the whole pair branch runs on this
+    # single record-cardinality shuffle (the old plan paid a second full
+    # exchange to re-key the deduped rows for the join). The (source,
+    # hour) aggregation branches keep their own partial-agg exchanges.
+    raw = df.withColumn("hour", F.date_trunc("hour", "timestamp")).repartition(
+        "doc_id"
+    )
 
     # per-(source, hour) medians over the raw stream (median_dist_from_sat)
     med_stats = raw.groupBy("source", "hour").agg(

@@ -445,21 +445,29 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors
     (vec_id % 97 == 0): the ANN correctness baseline."""
     e = _embs_parallel(spark, sf_dir)
+    # self-dot norms hoisted out of the pair projection (r6): qq depends
+    # only on the query row and cc only on the candidate row, so each is
+    # computed once per ROW instead of once per PAIR — the identical fold
+    # on identical values, so sqrt(qq * cc) is bit-unchanged (guide §1.2:
+    # don't compute things per pair that are per-row)
     q = e.where(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(COS_DOT.format(a="embedding", b="embedding")).alias("qq"),
     )
     c = e.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("c_label"),
+        F.expr(COS_DOT.format(a="embedding", b="embedding")).alias("cc"),
     )
     dot = F.expr(COS_DOT.format(a="q_emb", b="c_emb"))
-    qq = F.expr(COS_DOT.format(a="q_emb", b="q_emb"))
-    cc = F.expr(COS_DOT.format(a="c_emb", b="c_emb"))
     pairs = (
         q.crossJoin(c)
         .where(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", F.round(dot / F.sqrt(qq * cc), 6))
+        .withColumn(
+            "cos", F.round(dot / F.sqrt(F.col("qq") * F.col("cc")), 6)
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
@@ -674,22 +682,29 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(slice(array_sort({cand_expr}), 1, {p_cnt}), "
         "x -> q_bucket ^ x.rm)"
     )
+    # qq/cc hoisted to per-row projections (identical fold on identical
+    # values -> bit-unchanged cosine; computed once per probe/candidate
+    # row instead of once per joined pair)
     probes = q.select(
-        "q_id", "q_emb", F.explode(F.expr(probe_expr)).alias("pb")
+        "q_id",
+        "q_emb",
+        F.expr(COS_DOT.format(a="q_emb", b="q_emb")).alias("qq"),
+        F.explode(F.expr(probe_expr)).alias("pb"),
     )
     c = e.select(
         F.col("bucket"),
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("c_label"),
+        F.expr(COS_DOT.format(a="embedding", b="embedding")).alias("cc"),
     )
     dot = F.expr(COS_DOT.format(a="q_emb", b="c_emb"))
-    qq = F.expr(COS_DOT.format(a="q_emb", b="q_emb"))
-    cc = F.expr(COS_DOT.format(a="c_emb", b="c_emb"))
     pairs = (
         probes.join(c, probes.pb == c.bucket)
         .where(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", F.round(dot / F.sqrt(qq * cc), 6))
+        .withColumn(
+            "cos", F.round(dot / F.sqrt(F.col("qq") * F.col("cc")), 6)
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
@@ -804,19 +819,26 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     bits = lsh_bits_for(table_row_count(sf_dir, "embeddings", spark))
     e = e.withColumn("bucket", _bucket_expr_spark(bits))
+    # self-dot norms hoisted per side (identical fold, bit-unchanged cos)
     a = e.select(
-        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+        F.col("bucket"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(COS_DOT.format(a="embedding", b="embedding")).alias("na"),
     )
     b = e.select(
-        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        F.col("bucket"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(COS_DOT.format(a="embedding", b="embedding")).alias("nb"),
     )
     dot = F.expr(COS_DOT.format(a="ea", b="eb"))
-    na = F.expr(COS_DOT.format(a="ea", b="ea"))
-    nb = F.expr(COS_DOT.format(a="eb", b="eb"))
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot / F.sqrt(na * nb), 6))
+        .withColumn(
+            "cos", F.round(dot / F.sqrt(F.col("na") * F.col("nb")), 6)
+        )
         .where(F.col("cos") >= 0.2)
         .select("bucket", "id_a", "id_b", "cos")
     )
@@ -939,62 +961,113 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = ivf_sample_step(n, c_n)
 
     samp = e.where(F.col("vec_id") % step == 0).select("vec_id", "embedding")
-    w = Window.orderBy("vec_id")
-    init = (
-        samp.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= c_n)
-        .select(
-            (F.col("rn") - 1).alias("k"),
-            F.expr(
-                "transform(embedding, x -> cast(x as double))"
-            ).alias("cent"),
-        )
-    )
-    init_row = init.agg(
-        F.array_sort(F.collect_list(F.struct("k", "cent"))).alias("cents")
-    )
     d2 = _S_DIST2.format(v="embedding", c="c.cent")
     asg_expr = (
         f"array_min(transform(cents, c -> struct({d2} as d, c.k as k))).k"
     )
-    sassign = (
-        samp.crossJoin(F.broadcast(init_row))
-        .select("vec_id", "embedding", F.expr(asg_expr).alias("k"))
-    )
-    # one Lloyd step: element-wise SEQUENTIAL mean over members in vec_id
-    # order; empty clusters keep their init centroid
-    upd = (
-        sassign.groupBy("k")
-        .agg(
+    # Training is REGIME-SWITCHED on C (r6) with bit-identical math either
+    # way (same IEEE op sequence: init = C smallest sampled vec_ids cast to
+    # double, argmin on (d, k) structs, per-cluster sequential means in
+    # vec_id order, empty clusters keep their init centroid — the DuckDB
+    # twin can't tell the plans apart). Small-C regime: the whole ~8C
+    # sample collapses to ONE row and the Lloyd step runs as higher-order
+    # folds over it — the old plan's global-sort Window, broadcast,
+    # assignment shuffle and init/update join were pure fixed overhead
+    # there (measured: 4.3s -> the collapsed train removes ~4 stages).
+    # Large-C regime keeps the distributed plan: single-row training costs
+    # O(8*C^2*64) interpreted ops in ONE task (134M at the 70k fixture's
+    # C=512 — measured minutes), while distributed assignment spreads the
+    # identical flops across the cluster.
+    if c_n <= 64:
+        sv_row = samp.agg(
             F.array_sort(
                 F.collect_list(F.struct("vec_id", "embedding"))
-            ).alias("ms"),
-            F.count(F.lit(1)).alias("cnt"),
+            ).alias("sv")
         )
-        .select(
-            "k",
+        d2s = _S_DIST2.format(v="v.embedding", c="c.cent")
+        t = sv_row.select(
+            "sv",
             F.expr(
-                "transform(sequence(1, 64), d -> aggregate(ms, "
-                "cast(0.0 as double), (acc, m) -> acc + "
-                "cast(element_at(m.embedding, d) as double)) / cnt)"
-            ).alias("cent"),
+                f"transform(slice(sv, 1, {c_n}), (x, i) -> struct(i as k, "
+                "transform(x.embedding, y -> cast(y as double)) as cent))"
+            ).alias("cents0"),
         )
-    )
-    cents2 = init.select("k", F.col("cent").alias("cent0")).join(
-        upd, "k", "left"
-    ).select("k", F.coalesce("cent", "cent0").alias("cent"))
+        t = t.select(
+            "cents0",
+            F.expr(
+                "transform(sv, v -> struct("
+                f"array_min(transform(cents0, c -> struct({d2s} as d, "
+                "c.k as k))).k as k, v.embedding as embedding))"
+            ).alias("asg"),
+        )
+        t = t.select(
+            "cents0",
+            F.expr(
+                "transform(cents0, c0 -> filter(asg, a -> a.k = c0.k))"
+            ).alias("mss"),
+        )
+        trained = t.select(
+            F.expr(
+                "zip_with(cents0, mss, (c0, ms) -> struct(c0.k as k, "
+                "if(size(ms) > 0, transform(sequence(1, 64), d -> "
+                "aggregate(ms, cast(0.0 as double), (acc, m) -> acc + "
+                "cast(element_at(m.embedding, d) as double)) / size(ms)), "
+                "c0.cent) as cent))"
+            ).alias("cents")
+        )
+    else:
+        w = Window.orderBy("vec_id")
+        init = (
+            samp.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= c_n)
+            .select(
+                (F.col("rn") - 1).alias("k"),
+                F.expr(
+                    "transform(embedding, x -> cast(x as double))"
+                ).alias("cent"),
+            )
+        )
+        init_row = init.agg(
+            F.array_sort(F.collect_list(F.struct("k", "cent"))).alias("cents")
+        )
+        sassign = (
+            samp.crossJoin(F.broadcast(init_row))
+            .select("vec_id", "embedding", F.expr(asg_expr).alias("k"))
+        )
+        # one Lloyd step: element-wise SEQUENTIAL mean over members in
+        # vec_id order; empty clusters keep their init centroid
+        upd = (
+            sassign.groupBy("k")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("vec_id", "embedding"))
+                ).alias("ms"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(
+                "k",
+                F.expr(
+                    "transform(sequence(1, 64), d -> aggregate(ms, "
+                    "cast(0.0 as double), (acc, m) -> acc + "
+                    "cast(element_at(m.embedding, d) as double)) / cnt)"
+                ).alias("cent"),
+            )
+        )
+        cents2 = init.select("k", F.col("cent").alias("cent0")).join(
+            upd, "k", "left"
+        ).select("k", F.coalesce("cent", "cent0").alias("cent"))
+        trained = cents2.agg(
+            F.array_sort(F.collect_list(F.struct("k", "cent"))).alias("cents")
+        )
     # ONE tiny row; materialized eagerly via localCheckpoint because both
     # the query branch and the candidate branch hang off it — without this
-    # the whole training pipeline (sample window + two aggregations) runs
-    # twice. localCheckpoint (not persist) so no cache entry outlives the
-    # DataFrame: bench loops re-invoking this query in one session were
-    # accumulating persisted rows (ADVICE r4); checkpoint blocks are freed
-    # with the RDD by the ContextCleaner. At real scale the analog is
-    # materializing the trained centroids/inverted lists as a table — that
-    # is what an IVF index IS.
-    cent_row = cents2.agg(
-        F.array_sort(F.collect_list(F.struct("k", "cent"))).alias("cents")
-    ).localCheckpoint(eager=True)
+    # the whole training pipeline runs twice. localCheckpoint (not persist)
+    # so no cache entry outlives the DataFrame: bench loops re-invoking
+    # this query in one session were accumulating persisted rows (ADVICE
+    # r4); checkpoint blocks are freed with the RDD by the ContextCleaner.
+    # At real scale the analog is materializing the trained centroids /
+    # inverted lists as a table — that is what an IVF index IS.
+    cent_row = trained.localCheckpoint(eager=True)
 
     assigned = (
         e.crossJoin(F.broadcast(cent_row))
@@ -1007,11 +1080,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(slice(array_sort(transform(cents, c -> "
         f"struct({d2} as d, c.k as k))), 1, {np_}), x -> x.k)"
     )
+    # qq/cc hoisted to per-row projections (identical fold on identical
+    # values -> bit-unchanged cosine; once per row, not once per pair)
     q = (
         assigned.where(F.col("vec_id") % 97 == 0)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
+            F.expr(COS_DOT.format(a="embedding", b="embedding")).alias("qq"),
             F.explode(F.expr(probe_expr)).alias("pk"),
         )
     )
@@ -1020,14 +1096,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("c_label"),
+        F.expr(COS_DOT.format(a="embedding", b="embedding")).alias("cc"),
     )
     dot = F.expr(COS_DOT.format(a="q_emb", b="c_emb"))
-    qq = F.expr(COS_DOT.format(a="q_emb", b="q_emb"))
-    cc = F.expr(COS_DOT.format(a="c_emb", b="c_emb"))
     pairs = (
         q.join(cands, q.pk == cands.cluster)
         .where(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", F.round(dot / F.sqrt(qq * cc), 6))
+        .withColumn(
+            "cos", F.round(dot / F.sqrt(F.col("qq") * F.col("cc")), 6)
+        )
     )
     wr = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
