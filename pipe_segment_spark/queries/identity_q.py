@@ -73,7 +73,7 @@ def _engine_parts(spark: SparkSession, sf_dir: str):
     from pyspark.storagelevel import StorageLevel
 
     from pipe_segment_spark.operators.fragment import (
-        fragments_from_tagged,
+        fragment_base,
         tag_fragments_narrow,
     )
     from pipe_segment_spark.operators.segment_map import create_segment_map
@@ -83,11 +83,21 @@ def _engine_parts(spark: SparkSession, sf_dir: str):
     narrow = tag_fragments_narrow(records, DEFAULT_PARAMS).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    frags = fragments_from_tagged(narrow).persist(StorageLevel.MEMORY_AND_DISK)
-    segmap = create_segment_map(frags, DEFAULT_PARAMS).persist(
+    # persist the ARRAY-FREE fragment base and the segmap built on it —
+    # ANALYZED-PLAN-IDENTICAL to run_batch_pipeline's persists, so in a
+    # session that also ran the full pipeline (the bench, the driver's
+    # correctness sweep) the CacheManager serves both from the existing
+    # cache instead of recomputing a plan-variant twin (pre-r6 this module
+    # persisted fragments_from_tagged(narrow) — base + decorative empty
+    # arrays that no identity consumer ever read — whose analyzed plan
+    # matched nothing, forcing a second kernel/segmap materialization).
+    # At 100 TB this seam is where a storage-backed fragments table read
+    # replaces the recompute (PLANS.md note unchanged).
+    base = fragment_base(narrow).persist(StorageLevel.MEMORY_AND_DISK)
+    segmap = create_segment_map(base, DEFAULT_PARAMS).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    frags_seg = tag_fragments_with_seg_id(frags, segmap)
+    frags_seg = tag_fragments_with_seg_id(base, segmap)
     # the identity payload stays JVM-side (never rides the kernel): join it
     # back onto the narrow map at IDENT-row cardinality
     ident_side = records.where(
@@ -266,7 +276,14 @@ def q_segment_vessel_daily(
             .where(F.col("date") >= start)
             .drop("last_day")
         )
-    frows = _ident_field_rows(ident)
+    # ONE hash exchange per input on doc_id (r6, guide §2.4): every
+    # aggregation, window and join below keys on a doc_id-prefixed set
+    # (the (seg_id, field) windows gain doc_id explicitly — seg_id
+    # functionally determines doc_id, so the partitions are identical),
+    # letting the whole seg-level AND doc-level analysis run on these two
+    # shared exchanges instead of re-shuffling per branch.
+    segday = segday.repartition("doc_id")
+    frows = _ident_field_rows(ident.repartition("doc_id"))
 
     # --- window aggregation per segment ---
     seg_scalars = (
@@ -293,10 +310,13 @@ def q_segment_vessel_daily(
         .groupBy("doc_id", "seg_id")
         .agg(F.sum("cnt").cast("long").alias("ident_count"))
     )
-    w_top = Window.partitionBy("seg_id", "field").orderBy(
+    # doc_id added to the partition keys: seg_id -> doc_id is functional
+    # (seg ids are per-doc), so the window partitions are unchanged and
+    # HashPartitioning(doc_id) satisfies them without a new exchange
+    w_top = Window.partitionBy("doc_id", "seg_id", "field").orderBy(
         F.desc("cnt"), F.asc("value")
     )
-    w_tot = Window.partitionBy("seg_id", "field")
+    w_tot = Window.partitionBy("doc_id", "seg_id", "field")
     seg_top = (
         seg_field_counts.withColumn("rn", F.row_number().over(w_top))
         .withColumn(
