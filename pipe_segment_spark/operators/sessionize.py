@@ -112,8 +112,12 @@ def session_segments_daily(
         F.min("timestamp").alias("first_msg_timestamp"),
         F.max("timestamp").alias("last_msg_timestamp"),
     )
+    # doc_id prefixed to the partition keys (r6): seg_id embeds doc_id, so
+    # the partitions are unchanged — but HashPartitioning(doc_id) from the
+    # sessionize exchange now satisfies the window too, making the whole
+    # query a single-shuffle plan (2 Exchanges -> 1)
     w_cum = (
-        Window.partitionBy("seg_id")
+        Window.partitionBy("doc_id", "seg_id")
         .orderBy("date")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

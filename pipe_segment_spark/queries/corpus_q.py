@@ -163,17 +163,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout stays bounded by MAX_SHINGLE_DF^2/2. Same multiset of
     (doc_a, doc_b, shingle) contributions, so `inter` is unchanged."""
     sh_all = (
-        _docs(spark, sf_dir)
+        _docs_parallel(spark, sf_dir)
         .withColumn("w", F.expr(WORDS_EXPR))
         .select(
             "doc_id",
             F.explode(F.array_distinct(F.expr(SHINGLES_OF_W))).alias("sh"),
         )
     )
-    buckets = (
-        sh_all.groupBy("sh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") <= MAX_SHINGLE_DF)
+    # df gate BEFORE the list collection (the window count runs on the
+    # same sh-partitioned exchange the collect reuses): boilerplate
+    # shingles shared by thousands of docs are dropped without ever
+    # building their doc lists — collect_list-then-filter materialized
+    # those lists first (measured: 3.8s -> the gated collect removes the
+    # hot-key list build; the one exchange on sh is shared by the window,
+    # the collect and the pair expansion)
+    sh = (
+        sh_all.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+    buckets = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
     sizes = (
         buckets.select(F.explode("ds").alias("doc_id"))
@@ -1434,17 +1446,25 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical to the old train-join-bench output: one row per
     # (shingle, train_doc, bench_doc) co-occurrence under the cap.
     sh_all = (
-        _docs(spark, sf_dir)
+        _docs_parallel(spark, sf_dir)
         .withColumn("w", F.expr(WORDS_EXPR))
         .select(
             "doc_id",
             F.explode(F.array_distinct(F.expr(SHINGLES_OF_W))).alias("sh"),
         )
     )
-    buckets = (
-        sh_all.groupBy("sh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") <= CONTAM_MAX_DF)
+    # df gate before the list collection (same shape as dedup_ngram: the
+    # window count shares the sh exchange with the collect; hot-key lists
+    # are never built)
+    sh = (
+        sh_all.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .where(F.col("df") <= CONTAM_MAX_DF)
+        .drop("df")
+    )
+    buckets = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
     pair_expr = (
         "flatten(transform(filter(ds, d -> d % 50 != 0), t -> "
