@@ -391,35 +391,28 @@ FROM comp c JOIN sizes z USING (component_id)
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc from shingle md5 hex digits (bit j = sign of
-    sum over shingles of ±1 by hex digit high bit)."""
-    sh = (
-        _docs(spark, sf_dir)
-        .withColumn("w", F.expr(WORDS_EXPR))
-        .select("doc_id", F.explode(F.expr(SHINGLES_OF_W)).alias("sh"))
-        .distinct()
-        .withColumn("h", F.md5("sh"))
-    )
-    bits = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
-        F.when(
-            F.substring("h", F.col("j") + 1, 1).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"
-            ),
-            1,
-        )
-        .otherwise(-1)
-        .alias("v"),
+    sum over shingles of ±1 by hex digit high bit).
+
+    r6 physical rewrite (same rows): the whole signature is computed per
+    document with higher-order folds — one md5 per distinct shingle, then
+    the 16 bit-sums over those digests. Sum of ±1 over a set is
+    order-independent integers, so values are unchanged; shingle-less docs
+    are filtered exactly as the old explode dropped them. Removes the
+    16-way (doc, j) explode and BOTH aggregation shuffles — the output is
+    produced directly in the scan/projection stage at any corpus size."""
+    hs_expr = f"transform(array_distinct({SHINGLES_OF_W}), s -> md5(s))"
+    sim_expr = (
+        "aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> acc + "
+        "if(aggregate(hs, 0, (a, h) -> a + if(substring(h, j + 1, 1) in "
+        "('8','9','a','b','c','d','e','f'), 1, -1)) > 0, "
+        "cast(shiftleft(1, j) as bigint), cast(0 as bigint)))"
     )
     return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("v").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1, j)")).otherwise(0)
-            ).alias("simhash")
-        )
+        _docs_parallel(spark, sf_dir)
+        .withColumn("w", F.expr(WORDS_EXPR))
+        .select("doc_id", F.expr(hs_expr).alias("hs"))
+        .where(F.size("hs") > 0)
+        .select("doc_id", F.expr(sim_expr).alias("simhash"))
     )
 
 
