@@ -894,6 +894,12 @@ IVF_MIN_C, IVF_MAX_C = 16, 4096
 # N — the budget grows sub-linearly while brute force grows linearly.
 IVF_TARGET_CANDIDATES = 1024
 IVF_NPROBE_FLOOR = 2  # boundary queries need a second cell at any scale
+# training regime switch (r6): C at or below this trains on ONE collected
+# row (higher-order folds — stage overhead dominates there); above it the
+# distributed Lloyd plan runs (single-row training is O(8*C^2*64)
+# interpreted ops in one task). Both regimes execute the identical IEEE op
+# sequence — pinned by tests/test_corpus_recall.py regime tests.
+IVF_LOCAL_TRAIN_MAX_C = 64
 
 
 def ivf_nprobe_for(n: int, c: int) -> int:
@@ -983,7 +989,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(8*C^2*64) interpreted ops in ONE task (134M at the 70k fixture's
     # C=512 — measured minutes), while distributed assignment spreads the
     # identical flops across the cluster.
-    if c_n <= 64:
+    if c_n <= IVF_LOCAL_TRAIN_MAX_C:
         sv_row = samp.agg(
             F.array_sort(
                 F.collect_list(F.struct("vec_id", "embedding"))

@@ -301,3 +301,72 @@ def test_ann_oracle_exactness_dense_regime(spark, tmp_path):
         duck_rows = sorted(tuple(r) for r in con.sql(o_sql).fetchall())
         assert len(spark_rows) == len(duck_rows), name
         assert spark_rows == duck_rows, name
+
+
+def _mk_embeddings(spark, path: str, n: int):
+    """Deterministic md5-derived embedding table (same recipe as the dense
+    regime fixture)."""
+    spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7).cast("int").alias("label"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "cast((cast(conv(substring(md5(concat(cast(id as string), ':', "
+            "cast(i as string))), 1, 8), 16, 10) as double) / 4294967295.0 "
+            "- 0.5) as float))"
+        ).alias("embedding"),
+    ).coalesce(2).write.parquet(path)
+
+
+def test_ivf_training_regimes_bit_identical(spark, tmp_path, monkeypatch):
+    """r6 regime switch: the single-row higher-order-fold training
+    (C <= IVF_LOCAL_TRAIN_MAX_C) and the distributed Lloyd plan must
+    produce BIT-IDENTICAL retrieval output on the same table — the switch
+    is a physical-plan choice, never a semantic one. Forces both branches
+    on one 4,000-vector fixture (C = 16) by patching the threshold."""
+    from pipe_segment_spark.queries import corpus_q as cq
+
+    emb_dir = str(tmp_path / "embeddings.parquet")
+    _mk_embeddings(spark, emb_dir, 4_000)
+    assert cq.ivf_clusters_for(4_000) <= cq.IVF_LOCAL_TRAIN_MAX_C
+
+    def run():
+        return sorted(
+            (r["q_id"], r["c_id"], r["c_label"], r["cos"], r["rank"])
+            for r in cq.q_ann_ivf_topk(spark, str(tmp_path)).collect()
+        )
+
+    local_rows = run()
+    monkeypatch.setattr(cq, "IVF_LOCAL_TRAIN_MAX_C", 0)  # force distributed
+    dist_rows = run()
+    assert local_rows == dist_rows
+    assert len(local_rows) > 0
+
+
+def test_ivf_oracle_exactness_distributed_training_regime(spark, tmp_path):
+    """Engine == DuckDB oracle for IVF on a fixture whose C exceeds
+    IVF_LOCAL_TRAIN_MAX_C (20,000 vectors -> C = 128), i.e. the
+    DISTRIBUTED training branch — every other oracle fixture (gate tables,
+    dense-regime test) lands in the single-row regime, so without this the
+    distributed branch would be oracle-unpinned after the r6 switch."""
+    from pipe_segment_spark.queries.corpus_q import (
+        IVF_LOCAL_TRAIN_MAX_C,
+        O_ANN_IVF_TOPK,
+        ivf_clusters_for,
+        q_ann_ivf_topk,
+    )
+
+    n = 20_000
+    assert ivf_clusters_for(n) > IVF_LOCAL_TRAIN_MAX_C
+    emb_dir = str(tmp_path / "embeddings.parquet")
+    _mk_embeddings(spark, emb_dir, n)
+
+    spark_rows = sorted(
+        (r["q_id"], r["c_id"], r["c_label"], r["cos"], r["rank"])
+        for r in q_ann_ivf_topk(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_dir}/*.parquet'")
+    duck_rows = sorted(tuple(r) for r in con.sql(O_ANN_IVF_TOPK).fetchall())
+    assert len(spark_rows) == len(duck_rows)
+    assert spark_rows == duck_rows
