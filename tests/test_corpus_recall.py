@@ -195,8 +195,9 @@ def test_ivf_nprobe_budget():
 
 def test_ivf_topk_recall_vs_brute_force(spark):
     """IVF-flat retrieval (deterministic one-step-Lloyd coarse quantizer,
-    nprobe=2) must recover a meaningful share of the exact top-5 on the
-    gate fixture — recorded in PLANS.md alongside the LSH path."""
+    budget-derived nprobe — saturates to C on this fixture, i.e. exact
+    search) must recover the exact top-5 on the gate fixture — recorded
+    in PLANS.md alongside the LSH path."""
     from pipe_segment_spark.queries.corpus_q import q_ann_ivf_topk
 
     brute = _topk_sets(q_ann_cosine_topk(spark, SF_DIR))

@@ -100,12 +100,20 @@ def resolve_prev_ref(explicit: str | None) -> str:
         return subprocess.check_output(
             ["git", "rev-parse", explicit], cwd=REPO, text=True
         ).strip()
+    head = subprocess.check_output(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, text=True
+    ).strip()
     out = subprocess.check_output(
         ["git", "log", "--format=%H %s", "-200"], cwd=REPO, text=True
     )
     for line in out.splitlines():
         sha, _, subject = line.partition(" ")
         if subject.startswith("round ") and ":" in subject.split(" ", 2)[1]:
+            if sha == head:
+                # HEAD itself is a round-close commit: benchmarking HEAD
+                # against HEAD would report flat ~1.0 ratios that look
+                # like "no regression" (ADVICE r5) — take the next match
+                continue
             return sha
     raise SystemExit(
         "no 'round N:' driver commit found; pass --prev <ref> explicitly"
