@@ -899,7 +899,12 @@ IVF_NPROBE_FLOOR = 2  # boundary queries need a second cell at any scale
 # distributed Lloyd plan runs (single-row training is O(8*C^2*64)
 # interpreted ops in one task). Both regimes execute the identical IEEE op
 # sequence — pinned by tests/test_corpus_recall.py regime tests.
-IVF_LOCAL_TRAIN_MAX_C = 64
+# Threshold 16, not 64: measured on an 8,000-vector corpus (C = 32) the
+# single-task fold train took 14.4s end-to-end vs 6.9s distributed — the
+# one-task interpreted cost grows ~C^2 while the removed stage overhead is
+# constant, so only the smallest regime (C = 16, where the win was
+# measured at sf0.1) stays local.
+IVF_LOCAL_TRAIN_MAX_C = 16
 
 
 def ivf_nprobe_for(n: int, c: int) -> int:
